@@ -1,0 +1,71 @@
+"""Media-branch decode: the single pandas (Arrow) UDF in the pipeline.
+
+Reference analogue: the fused image work — render, layout detect, barcode/QR
+scan, crops — all happens inside one worker process before the OCR hop
+(/root/reference/app/core/document/pdf_processor.py:930-1093, detector.py:11-80,
+barcode.py:10-179).  Here the bitmap is replaced by the deterministic payload
+codec (engine.codec, FIXTURES.md §2); the UDF decodes one Arrow batch of
+payloads into the PAGE_FEATURES struct.  Everything downstream — routing,
+region strip, dedup, reassembly — is pure Catalyst over these columns
+(SURVEY.md §2.11: one fused UDF per media batch; never per-row Python).
+
+Failure isolation (X3, pdf_processor.py:1160-1183): a malformed payload yields
+``decode_error`` instead of failing the task; the router turns that into an
+``error`` lineage row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from engine import codec
+from engine.schema import PAGE_FEATURES_STRUCT
+
+
+def _decode_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Series[bytes] → DataFrame matching PAGE_FEATURES_STRUCT.
+
+    Plain-Python loop over the Arrow batch: the payload is variable-length JSON,
+    so there is no numpy vectorization to be had — the win over row-at-a-time
+    UDFs is the Arrow batch transfer and one Python call per ~2048 rows.
+    """
+    out = {
+        "page_kind": [],
+        "labels": [],
+        "title_text": [],
+        "body_lines": [],
+        "has_qr": [],
+        "qr_rotated": [],
+        "boilerplate": [],
+        "conf": [],
+        "decode_error": [],
+    }
+    for blob in payloads:
+        try:
+            page = codec.decode_page(blob)
+            out["page_kind"].append(page.get("page_kind"))
+            regions = page.get("regions") or []
+            out["labels"].append([r["label"] for r in regions])
+            out["title_text"].append(page.get("title_text"))
+            body = page.get("body_text") or ""
+            out["body_lines"].append(body.split("\n") if body else [])
+            out["has_qr"].append(bool(page.get("has_qr")))
+            out["qr_rotated"].append(bool(page.get("qr_rotated")))
+            out["boilerplate"].append(page.get("boilerplate") or [])
+            out["conf"].append(float(page.get("conf", 1.0)))
+            out["decode_error"].append(None)
+        except Exception as exc:  # noqa: BLE001 — failure isolation per item (X3)
+            out["page_kind"].append(None)
+            out["labels"].append(None)
+            out["title_text"].append(None)
+            out["body_lines"].append(None)
+            out["has_qr"].append(None)
+            out["qr_rotated"].append(None)
+            out["boilerplate"].append(None)
+            out["conf"].append(None)
+            out["decode_error"].append(f"{type(exc).__name__}: {exc}")
+    return pd.DataFrame(out)
+
+
+decode_media = F.pandas_udf(_decode_batch, returnType=PAGE_FEATURES_STRUCT)

@@ -1,0 +1,176 @@
+"""End-to-end extraction pipeline (SURVEY.md §3 Spark equivalent).
+
+One lazily-built DataFrame chain replaces the reference's FastAPI→Celery→Redis
+hop graph (/root/reference/app/tasks.py:76-96 chain; 534-650 batch):
+
+  read spans → explode → branch by kind
+    text  branch: normalize (F1/F4, W1/W2) → boilerplate classify → status
+    media branch: join media_blobs → salt-spread → fused decode UDF →
+                  route (P3-P8) → region strip → normalize → status
+  → union (J5: skipped spans rejoin, nothing is filter-and-forgotten)
+  → per-doc offset-sorted re-nest (A2)  +  lineage + metrics (X4, S6)
+
+Catalyst gets the whole plan: predicate pushdown into the parquet scan, one
+shuffle for the blobs join, one for the re-nest; the only Python is the Arrow
+decode batch.  The span spine is persisted once and fans out to the three
+outputs (spans_out / lineage / metrics) without recompute.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from engine import textops
+from engine.assemble import reassemble
+from engine.layout import decode_media
+from engine.metrics import lineage_df, metrics_df, observed
+from engine.routing import route
+from engine.skew import spread
+
+
+@dataclass
+class ExtractionResult:
+    spans_out: DataFrame
+    lineage: DataFrame
+    metrics: DataFrame
+    spine: DataFrame
+    run_id: str
+    observation: object = field(default=None)
+
+    def unpersist(self) -> None:
+        self.spine.unpersist()
+
+
+def _text_branch(ex: DataFrame) -> DataFrame:
+    """Text-kind spans: batched normalize + classify, pure Catalyst."""
+    norm = textops.normalize_span_text(F.coalesce(F.col("text"), F.lit("")))
+    df = ex.filter(F.col("kind") == "text").withColumn("out_text", norm)
+    boiler = textops.is_boilerplate(F.col("out_text"))
+    empty = F.col("out_text") == ""
+    return df.select(
+        "doc_id",
+        "offset",
+        "kind",
+        "media_ref",
+        "out_text",
+        F.when(empty, F.lit("skipped"))
+        .when(boiler, F.lit("dropped_boilerplate"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.when(empty, F.lit("empty"))
+        .when(boiler, F.lit("boilerplate"))
+        .alias("reason"),
+        F.lit(None).cast("double").alias("conf"),
+        F.lit(None).cast("string").alias("mode"),
+    )
+
+
+def _media_branch(ex: DataFrame, blobs: DataFrame, n_media_parts: int) -> DataFrame:
+    """Media-kind spans: blobs join → salt-spread → decode → route → strip."""
+    med = ex.filter(F.col("kind") == "media").join(blobs, "media_ref", "left")
+    # Scatter oversized payloads BEFORE the expensive decode so no partition
+    # accumulates several giant blobs (skew policy, engine.skew).
+    med = spread(med, n_media_parts, "doc_id", "offset")
+    med = med.withColumn("feats", decode_media(F.col("payload"))).drop("payload")
+
+    mode, skip_reason = route(F.col("feats"))
+    med = med.withColumn("mode", mode).withColumn("skip_reason", skip_reason)
+
+    feats = F.col("feats")
+    # Region strip (M1-M10 analogue): janzour receipt pages keep the whole page
+    # including the title (janzour_processor.py:61-206); every other processed
+    # mode crops below/around the title & header/footer zones — represented by
+    # the codec as title exclusion + the boilerplate region-lines set.
+    lines = F.when(
+        F.col("mode") == "janzour_receipt",
+        F.concat(F.array(F.coalesce(feats["title_text"], F.lit(""))), feats["body_lines"]),
+    ).otherwise(feats["body_lines"])
+    bp = F.coalesce(feats["boilerplate"], F.array().cast("array<string>"))
+    lines = F.filter(lines, lambda l: ~F.array_contains(bp, l))
+    out_text = F.array_join(textops.normalize_lines(lines), "\n")
+
+    med = med.withColumn(
+        "out_text", F.when(F.col("skip_reason").isNull(), out_text)
+    )
+    empty = F.col("skip_reason").isNull() & (F.col("out_text") == "")
+    return med.select(
+        "doc_id",
+        "offset",
+        "kind",
+        "media_ref",
+        "out_text",
+        F.when(F.col("skip_reason") == "decode_error", F.lit("error"))
+        .when(F.col("skip_reason").isNotNull(), F.lit("skipped"))
+        .when(empty, F.lit("skipped"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.when(
+            F.col("skip_reason") == "decode_error", feats["decode_error"]
+        )
+        .when(F.col("skip_reason").isNotNull(), F.col("skip_reason"))
+        .when(empty, F.lit("empty"))
+        .alias("reason"),
+        feats["conf"].alias("conf"),
+        "mode",
+    )
+
+
+def build_spine(
+    spark: SparkSession,
+    spans: DataFrame,
+    blobs: DataFrame,
+    n_media_parts: int | None = None,
+) -> DataFrame:
+    """Explode + branch + union: one row per input span with status/out_text."""
+    if n_media_parts is None:
+        n_media_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ex = spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    # P9 input hygiene: unknown kinds become error lineage rows, never a
+    # silent filter (J5 discipline).
+    bad = ex.filter(~F.col("kind").isin("text", "media")).select(
+        "doc_id",
+        "offset",
+        "kind",
+        "media_ref",
+        F.lit(None).cast("string").alias("out_text"),
+        F.lit("error").alias("status"),
+        F.lit("bad_kind").alias("reason"),
+        F.lit(None).cast("double").alias("conf"),
+        F.lit(None).cast("string").alias("mode"),
+    )
+    return (
+        _text_branch(ex)
+        .unionByName(_media_branch(ex, blobs, n_media_parts))
+        .unionByName(bad)
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    spans: DataFrame,
+    blobs: DataFrame,
+    run_id: str | None = None,
+    n_media_parts: int | None = None,
+    persist: bool = True,
+) -> ExtractionResult:
+    """The single public entry: spans + blobs in, three output frames out."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    spine = build_spine(spark, spans, blobs, n_media_parts)
+    spine, obs = observed(spine)
+    if persist:
+        spine = spine.persist(StorageLevel.MEMORY_AND_DISK)
+    return ExtractionResult(
+        spans_out=reassemble(spine),
+        lineage=lineage_df(spine, run_id),
+        metrics=metrics_df(spine, run_id),
+        spine=spine,
+        run_id=run_id,
+        observation=obs,
+    )

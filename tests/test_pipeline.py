@@ -1,0 +1,122 @@
+"""End-to-end golden tests: pipeline output vs the independent oracle.
+
+The driver invariant (FIXTURES.md §4): per doc, element-wise equality of
+(kind, text, media_ref) in array order after sorting by offset; dropped spans
+absent; kept spans preserve media_ref and relative order.
+"""
+
+from __future__ import annotations
+
+from engine.pipeline import run_extraction
+from tests import oracle
+
+
+def _collect_spans_out(result):
+    rows = result.spans_out.collect()
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans_out"]
+        ]
+        for r in rows
+    }
+
+
+def test_span_sequence_equality(spark, corpus, corpus_dfs):
+    spans_rows, blob_rows = corpus
+    spans, blobs = corpus_dfs
+    result = run_extraction(spark, spans, blobs, run_id="t-golden")
+    got = _collect_spans_out(result)
+    want = oracle.golden_for_corpus(spans_rows, blob_rows)
+    assert set(got) == set(want), "every input doc must appear in spans_out"
+    mismatches = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+    assert not mismatches, f"{len(mismatches)} docs mismatch; first: " + str(
+        next(iter(mismatches.items()))
+    )
+    result.unpersist()
+
+
+def test_lineage_accounts_every_span(spark, corpus, corpus_dfs):
+    spans_rows, blob_rows = corpus
+    spans, blobs = corpus_dfs
+    result = run_extraction(spark, spans, blobs, run_id="t-lineage")
+    lineage = result.lineage.collect()
+    total_spans = sum(len(r["spans"]) for r in spans_rows)
+    assert len(lineage) == total_spans
+
+    # per-(doc,offset) status equality vs oracle
+    blobs_map = {b["media_ref"]: b["payload"] for b in blob_rows}
+    want: dict[tuple[str, int], str] = {}
+    for row in spans_rows:
+        _, lin = oracle.process_doc(row["spans"], blobs_map)
+        for off, status in lin.items():
+            want[(row["doc_id"], off)] = status
+    got = {(r["doc_id"], r["offset"]): r["status"] for r in lineage}
+    assert got == want
+    result.unpersist()
+
+
+def test_metrics_totals(spark, corpus, corpus_dfs):
+    spans_rows, _ = corpus
+    spans, blobs = corpus_dfs
+    result = run_extraction(spark, spans, blobs, run_id="t-metrics")
+    import pyspark.sql.functions as F
+
+    m = result.metrics.agg(
+        F.sum("spans_kept").alias("kept"),
+        F.sum("spans_dropped").alias("dropped"),
+        F.sum("errors").alias("errors"),
+    ).collect()[0]
+    total = sum(len(r["spans"]) for r in spans_rows)
+    assert m["kept"] + m["dropped"] == total
+    assert m["errors"] > 0  # corrupt blobs exist in this corpus
+
+    # observe() metrics agree once an action has run
+    obs = result.observation.get
+    assert obs["spans_total"] == total
+    assert obs["spans_kept"] == m["kept"]
+    result.unpersist()
+
+
+def test_output_order_is_offset_not_arrival(spark):
+    """Spans arrive shuffled inside the array; output must be offset-sorted."""
+    from engine.schema import MEDIA_BLOBS_SCHEMA, SPANS_SCHEMA
+
+    rows = [
+        {
+            "doc_id": "d1",
+            "spans": [
+                {"kind": "text", "text": "third line", "media_ref": None, "offset": 2},
+                {"kind": "text", "text": "first line", "media_ref": None, "offset": 0},
+                {"kind": "text", "text": "second line", "media_ref": None, "offset": 1},
+            ],
+        }
+    ]
+    spans = spark.createDataFrame(rows, SPANS_SCHEMA)
+    blobs = spark.createDataFrame([], MEDIA_BLOBS_SCHEMA)
+    result = run_extraction(spark, spans, blobs, run_id="t-order", persist=False)
+    [row] = result.spans_out.collect()
+    assert [s["text"] for s in row["spans_out"]] == [
+        "first line",
+        "second line",
+        "third line",
+    ]
+
+
+def test_fully_skipped_doc_has_empty_output(spark):
+    from engine.schema import MEDIA_BLOBS_SCHEMA, SPANS_SCHEMA
+
+    rows = [
+        {
+            "doc_id": "d-skip",
+            "spans": [
+                {"kind": "text", "text": "Advertisement", "media_ref": None, "offset": 0},
+                {"kind": "text", "text": "   ", "media_ref": None, "offset": 1},
+            ],
+        }
+    ]
+    spans = spark.createDataFrame(rows, SPANS_SCHEMA)
+    blobs = spark.createDataFrame([], MEDIA_BLOBS_SCHEMA)
+    result = run_extraction(spark, spans, blobs, run_id="t-empty", persist=False)
+    [row] = result.spans_out.collect()
+    assert row["doc_id"] == "d-skip"
+    assert row["spans_out"] == []
