@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Runs (a) representative relational/training-data queries over
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and (b) the extraction
+pipeline end-to-end over a deterministic synthetic spans corpus sized to the
+scale factor, with a correctness spot-check against the pure-Python oracle so
+the bench never measures a broken pipeline (BASELINE.md §3.5).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_BENCH_DOCS  extraction corpus size override
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import engine.entry  # noqa: E402,F401  (registers queries)
+import engine.trainops  # noqa: E402,F401
+from engine import fixtures  # noqa: E402
+from engine.pipeline import run_extraction  # noqa: E402
+from engine.relational import registry  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "a1_hash_agg_pricing",
+    "j1_join_broadcast_dims",
+    "w1_lag_dedup",
+    "a6_value_histogram",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_tokens",
+    "x_text_branch_extraction",
+]
+
+BENCH_SEED = 1234
+
+
+def corpus_dir(n_docs: int) -> str:
+    """Deterministic corpus cached across runs (generation excluded from timing)."""
+    d = REPO / ".bench_cache" / f"corpus-{BENCH_SEED}-{n_docs}"
+    if not (d / "spans").exists():
+        fixtures.write_corpus(str(d), n_docs, seed=BENCH_SEED, docs_per_file=1000)
+    return str(d)
+
+
+def spot_check(spans_rows, blob_rows, got_rows) -> None:
+    """Golden equality on the sampled subset — bench must not measure a broken pipeline."""
+    from tests.oracle import golden_for_corpus
+
+    want = golden_for_corpus(spans_rows, blob_rows)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans_out"]]
+        for r in got_rows
+    }
+    for doc_id, expected in want.items():
+        assert got.get(doc_id) == expected, f"bench correctness check failed for {doc_id}"
+
+
+def run_extraction_bench(spark, n_docs: int) -> dict:
+    cdir = corpus_dir(n_docs)
+    spans = spark.read.parquet(f"{cdir}/spans")
+    blobs = spark.read.parquet(f"{cdir}/media_blobs")
+    t0 = time.time()
+    res = run_extraction(spark, spans, blobs, run_id="bench")
+    out_spans = res.spans_out.agg(
+        F.count("*").alias("docs"), F.sum(F.size("spans_out")).alias("spans")
+    ).collect()[0]
+    elapsed = time.time() - t0
+    # correctness spot-check on a 20-doc sample (outside the timed window)
+    sample_ids = [fixtures.doc_name(i) for i in range(0, n_docs, max(1, n_docs // 20))]
+    got_rows = res.spans_out.filter(F.col("doc_id").isin(sample_ids)).collect()
+    sample_rows, sample_blobs = [], []
+    for i in range(0, n_docs, max(1, n_docs // 20)):
+        s, b = fixtures.gen_doc(BENCH_SEED, i)
+        sample_rows.append(s)
+        sample_blobs.extend(b)
+    spot_check(sample_rows, sample_blobs, got_rows)
+    res.unpersist()
+    return {
+        "docs": int(out_spans["docs"]),
+        "spans_kept": int(out_spans["spans"]),
+        "seconds": round(elapsed, 2),
+        "docs_per_sec": round(out_spans["docs"] / elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(200, int(sf * 40000)))))
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    builders = {q.name: q.build for q in registry()}
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = builders[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    ext = run_extraction_bench(spark, n_docs)
+    timings["extraction_e2e"] = ext["seconds"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extraction": ext,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

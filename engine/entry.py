@@ -1,0 +1,144 @@
+"""Driver-facing extraction queries + flagship entry.
+
+Synthesizes an interleaved spans corpus from the driver's ``documents`` table
+(deterministic, no external data) and runs the real extraction pipeline over
+it, so the driver's correctness gate exercises the actual engine — not a
+stand-in query.
+
+- ``x_text_branch_extraction`` is DuckDB-comparable: text-only spans, whose
+  normalize/classify/reassemble semantics are restated in SQL (word-run dedup
+  via list_filter-with-index — DuckDB's RE2 has no backreferences).
+- ``flagship`` (used by ``entry()``) adds media spans with codec payloads, so
+  the smoke check covers decode → route → strip → re-nest end-to-end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.codec import encode_page
+from engine.pipeline import run_extraction
+from engine.relational import _q, load
+from engine.schema import MEDIA_BLOBS_SCHEMA
+from pyspark.sql.types import BinaryType
+
+BOILER_SPAN = "Terms of Service | Privacy Policy"
+
+
+def _text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: span0 = doc text, span1 = boilerplate, span2 = tail marker.
+    Written into the array in shuffled order (2,0,1) — reassembly must re-sort."""
+    d = load(spark, sf_dir, "documents")
+    span = lambda kind, text, ref, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        ref.alias("media_ref"),
+        F.lit(off).cast("int").alias("offset"),
+    )
+    nul = F.lit(None).cast("string")
+    tail = F.concat(F.lit("tail marker k"), (F.col("doc_id") % 10).cast("string"))
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            span("text", tail, nul, 2),
+            span("text", F.col("text"), nul, 0),
+            span("text", F.lit(BOILER_SPAN), nul, 1),
+        ).alias("spans"),
+    )
+
+
+@_q(
+    "x_text_branch_extraction",
+    "end-to-end text branch: explode → normalize (W1/W2/F4) → boilerplate "
+    "classify → offset-sorted re-nest (A2/J5) over spans synthesized from the "
+    "documents table",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           0 AS offset,
+           array_to_string(
+             list_filter(string_split(text, ' '),
+                         (x, i) -> i = 1 OR x <> string_split(text, ' ')[i - 1]),
+             ' ') AS text
+    FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           2 AS offset,
+           'tail marker k' || CAST(doc_id % 10 AS VARCHAR) AS text
+    FROM documents
+    """,
+)
+def x_text_branch_extraction(spark, sf_dir):
+    spans = _text_spans(spark, sf_dir)
+    blobs = spark.createDataFrame([], MEDIA_BLOBS_SCHEMA)
+    res = run_extraction(spark, spans, blobs, run_id="driver-x-text", persist=False)
+    return res.spans_out.select(
+        "doc_id", F.explode("spans_out").alias("s")
+    ).select("doc_id", F.col("s.offset").alias("offset"), F.col("s.text").alias("text"))
+
+
+@F.pandas_udf(BinaryType())
+def _page_payload(doc_id: pd.Series) -> pd.Series:
+    """Deterministic janzour-style page per doc — codec-encoded, no RNG."""
+    def mk(i: int) -> bytes:
+        i = int(i)
+        return encode_page(
+            {
+                "page_kind": "janzour",
+                "regions": [
+                    {"label": "doc_title", "bbox": [0, 0, 900, 90]},
+                    {"label": "header", "bbox": [0, 100, 900, 190]},
+                    {"label": "table", "bbox": [0, 200, 900, 600]},
+                ],
+                "title_text": "كشف تفاصيل الخدمات",
+                "body_text": "\n".join(
+                    [
+                        f"رقم الفاتورة: INV-{i % 100000:05d}",
+                        "[BARCODE ZONE]",
+                        f"Service code BIO{i % 10000:04d} billed at standard rate.",
+                        f"**الاجمالي:** {(i % 900) + 100},985.000 دينار",
+                    ]
+                ),
+                "has_qr": False,
+                "qr_rotated": False,
+                "boilerplate": ["[BARCODE ZONE]"],
+                "conf": 0.5 + (i % 50) / 100.0,
+            }
+        )
+
+    return doc_id.map(mk)
+
+
+def interleaved_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Text spans from _text_spans plus one media span (offset 3) per doc."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").alias("doc_num"),
+    )
+    ref = F.concat(F.lit("doc-media-"), F.col("doc_id"))
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        ref.alias("media_ref"),
+        F.lit(3).cast("int").alias("offset"),
+    )
+    text_spans = _text_spans(spark, sf_dir)
+    spans = text_spans.join(
+        d.select("doc_id", media_span.alias("mspan")), "doc_id"
+    ).select("doc_id", F.concat("spans", F.array("mspan")).alias("spans"))
+    blobs = d.select(ref.alias("media_ref"), _page_payload(F.col("doc_num")).alias("payload"))
+    return spans, blobs
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Full pipeline over the interleaved corpus; returns exploded spans_out."""
+    spans, blobs = interleaved_corpus(spark, sf_dir)
+    res = run_extraction(spark, spans, blobs, run_id="flagship", persist=False)
+    return res.spans_out.select("doc_id", F.explode("spans_out").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )

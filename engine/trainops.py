@@ -1,0 +1,414 @@
+"""Training-data pipeline operators over the documents/embeddings tables:
+deduplication (exact, MinHash-LSH, n-gram Jaccard, SimHash), similarity search
+(brute-force cosine top-k, IVF/label-bucketed variant), and text analysis
+(language-ID, quality scoring, token counting, fingerprinting).
+
+All pure Catalyst (array higher-order functions, md5, windows) — no UDFs.
+Each query has a DuckDB oracle; hash-portability notes:
+- signatures/fingerprints use md5 (identical lowercase hex on both engines),
+  never engine-native hash();
+- shingles are built with window lead() in SQL and array transform in Spark —
+  same (doc_id, position)-ordered trigrams;
+- cosine scores are double math rounded to 4 decimals, ordered by the rounded
+  score with vec_id tiebreak.
+
+The documents corpus has no natural near-duplicates, so dedup queries augment
+it with deterministic perturbed copies (doc_id+100000, first token dropped) —
+the pair-finding then has real positives to find on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from engine.relational import _q, load
+
+# --- shared corpus augmentation (exact copy + near-dup copy) ---------------
+
+_AUG_SQL = """
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             substr(text, position(' ' IN text) + 1) AS text, lang, source
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text, lang, source
+      FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    near = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+            "lang",
+            "source",
+        )
+    )
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+# --- shingling: word trigrams, position-ordered -----------------------------
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-gram shingles per doc.
+    Guarded for <3-token docs (Spark's sequence() would run BACKWARDS for a
+    negative stop, unlike DuckDB's generate_series which returns empty)."""
+    toks = F.split(F.col("text"), " ")
+    tri = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("doc_id", F.explode(F.array_distinct(tri)).alias("shingle"))
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM aug)
+      WHERE len(toks) >= 3
+"""
+
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+
+@_q(
+    "dedup_exact",
+    "training-data dedup — exact: md5 hash-groupBy, keep min doc_id",
+    f"""
+    WITH aug AS ({_AUG_SQL})
+    SELECT md5(text) AS fp, min(doc_id) AS kept_doc_id, count(*) AS dup_count
+    FROM aug GROUP BY fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    aug = _augmented(spark, sf_dir)
+    return aug.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("dup_count")
+    )
+
+
+@_q(
+    "dedup_minhash_lsh",
+    "training-data dedup — MinHash+LSH: per-band min-hash signature → band "
+    "bucket join → candidate pairs",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+      FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
+      GROUP BY doc_id, band
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+    FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    sh = _shingles(_augmented(spark, sf_dir))
+    sig = (
+        sh.withColumn("band", F.explode(F.array(*[F.lit(i) for i in range(4)])))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")))
+            ).alias("sig")
+        )
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_bands"))
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    "training-data dedup — n-gram Jaccard similarity over shingle-sharing "
+    "candidate pairs",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(i / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i / (sa.n + sb.n - i) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    sh = _shingles(_augmented(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _simhash_bits(tok_hash_expr: str, n_bits: int = 16) -> str:
+    """SQL: sum of signed bit contributions → simhash integer (shared shape)."""
+    terms = [
+        f"(CASE WHEN sum((({tok_hash_expr} >> {i}) & 1) * 2 - 1) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    ]
+    return " + ".join(terms)
+
+
+@_q(
+    "dedup_simhash",
+    "training-data dedup — SimHash (16-bit): per-token md5 bits, signed sums, "
+    "sign → fingerprint; equal fingerprints = near-dup bucket",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    toks AS (
+      SELECT doc_id, ('0x' || substr(md5(u.tok), 1, 4))::INTEGER AS h
+      FROM aug, UNNEST(string_split(text, ' ')) AS u(tok)
+    )
+    SELECT doc_id, {_simhash_bits('h')} AS simhash
+    FROM toks GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    aug = _augmented(spark, sf_dir)
+    toks = aug.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int").alias("h"),
+    )
+    bits = [
+        F.when(
+            F.sum((F.shiftright(F.col("h"), i) % 2) * 2 - 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i in range(16)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return toks.groupBy("doc_id").agg(total.alias("simhash"))
+
+
+# =========================================================================
+# Similarity search over embeddings
+# =========================================================================
+
+_COS_SQL = """
+      round(
+        list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                         list_transform(q.embedding, x -> x::DOUBLE))
+        / (sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                 list_transform(e.embedding, x -> x::DOUBLE)))
+         * sqrt(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                 list_transform(q.embedding, x -> x::DOUBLE)))),
+        4)
+"""
+
+
+def _cos(a, b):
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    return F.round(dot / (na * nb), 4)
+
+
+@_q(
+    "sim_cosine_topk",
+    "similarity search — brute-force cosine top-k against query vec_id=0 "
+    "(baseline ANN path; F.aggregate/zip_with dot product)",
+    f"""
+    SELECT e.vec_id, {_COS_SQL} AS cos
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", _cos(F.col("embedding"), F.col("q_emb")).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+@_q(
+    "sim_ivf_label_topk",
+    "similarity search — IVF-style bucketed ANN: probe only the query's "
+    "coarse bucket (label) then rank within it (scale path: bucket pruning "
+    "replaces the full scan)",
+    f"""
+    SELECT e.vec_id, {_COS_SQL} AS cos
+    FROM embeddings e,
+         (SELECT embedding, label FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0 AND e.label = q.label
+    ORDER BY cos DESC, e.vec_id LIMIT 10
+    """,
+)
+def sim_ivf_label_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_emb"), F.col("label").alias("q_label")
+        )
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .filter(F.col("label") == F.col("q_label"))
+        .select("vec_id", _cos(F.col("embedding"), F.col("q_emb")).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+_EN_STOPS = ["the", "and", "of"]
+_ES_STOPS = ["el", "de", "la"]
+
+
+def _hits(col, words):
+    out = F.lit(0)
+    for w in words:
+        out = out + F.when(col.rlike(rf"\b{w}\b"), 1).otherwise(0)
+    return out
+
+
+def _hits_sql(col: str, words: list[str]) -> str:
+    return " + ".join(
+        rf"(CASE WHEN regexp_matches({col}, '\b{w}\b') THEN 1 ELSE 0 END)" for w in words
+    )
+
+
+@_q(
+    "text_langid",
+    "text analysis — n-gram/stopword language-ID heuristic → confusion matrix "
+    "vs the labeled lang column",
+    f"""
+    SELECT lang,
+           CASE WHEN en > es THEN 'en' WHEN es > en THEN 'es' ELSE 'und' END AS pred,
+           count(*) AS cnt
+    FROM (
+      SELECT lang, {_hits_sql('text', _EN_STOPS)} AS en, {_hits_sql('text', _ES_STOPS)} AS es
+      FROM documents
+    ) GROUP BY lang, pred
+    """,
+)
+def text_langid(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    en = _hits(F.col("text"), _EN_STOPS)
+    es = _hits(F.col("text"), _ES_STOPS)
+    pred = F.when(en > es, "en").when(es > en, "es").otherwise("und")
+    return (
+        d.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "text_quality",
+    "text analysis — quality scoring: token count, char/token ratio, "
+    "length-window flag",
+    """
+    SELECT source, ok, count(*) AS cnt, sum(n_tokens) AS total_tokens FROM (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(string_split(text, ' ')) BETWEEN 10 AND 500 AS ok
+      FROM documents
+    ) GROUP BY source, ok
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    ok = (n_tokens >= 10) & (n_tokens <= 500)
+    return (
+        d.select("source", n_tokens.alias("n_tokens"), ok.alias("ok"))
+        .groupBy("source", "ok")
+        .agg(F.count("*").alias("cnt"), F.sum("n_tokens").alias("total_tokens"))
+    )
+
+
+@_q(
+    "text_tokens",
+    "text analysis — token counting: total + distinct whitespace tokens per source",
+    """
+    SELECT source, count(*) AS total_tokens, count(DISTINCT tok) AS distinct_tokens
+    FROM (SELECT source, u.tok FROM documents, UNNEST(string_split(text, ' ')) AS u(tok))
+    GROUP BY source
+    """,
+)
+def text_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("total_tokens"), F.countDistinct("tok").alias("distinct_tokens"))
+    )
+
+
+@_q(
+    "text_fingerprint",
+    "text analysis — document fingerprinting: md5 of whitespace-normalized "
+    "lowercased text",
+    """
+    SELECT source,
+           count(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS distinct_fps,
+           count(*) AS cnt
+    FROM documents GROUP BY source
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return d.groupBy("source").agg(
+        F.countDistinct(fp).alias("distinct_fps"), F.count("*").alias("cnt")
+    )
