@@ -50,7 +50,7 @@ BENCH_SEED = 1234
 
 def corpus_dir(n_docs: int) -> str:
     """Deterministic corpus cached across runs (generation excluded from timing)."""
-    d = REPO / ".bench_cache" / f"corpus-{BENCH_SEED}-{n_docs}"
+    d = REPO / ".bench_cache" / f"corpus-v{fixtures.FIXTURE_VERSION}-{BENCH_SEED}-{n_docs}"
     if not (d / "spans").exists():
         fixtures.write_corpus(str(d), n_docs, seed=BENCH_SEED, docs_per_file=1000)
     return str(d)

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""One scaling-run: extraction pipeline at a given parallelism, JSON to stdout.
+
+Invoked by bench/scaling.py in a fresh process per parallelism level (Spark
+master can't change within a JVM).  Timing excludes session startup, corpus
+generation, and plan warm-up: it measures the extraction job only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine.pipeline import run_extraction  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = get_spark(f"scale-{args.cores}", cores=args.cores, shuffle_partitions=args.cores)
+    spans = spark.read.parquet(f"{args.corpus}/spans")
+    blobs = spark.read.parquet(f"{args.corpus}/media_blobs")
+    n_docs = spans.count()  # warms the scan + JVM before timing
+
+    best = None
+    for _ in range(args.runs):
+        t0 = time.time()
+        res = run_extraction(spark, spans, blobs, run_id=f"scale-{args.cores}")
+        row = res.spans_out.agg(
+            F.count("*").alias("docs"), F.sum(F.size("spans_out")).alias("spans")
+        ).collect()[0]
+        dt = time.time() - t0
+        res.unpersist()
+        assert row["docs"] == n_docs
+        if best is None or dt < best:
+            best = dt
+    print(
+        json.dumps(
+            {
+                "cores": args.cores,
+                "docs": n_docs,
+                "seconds": round(best, 2),
+                "docs_per_sec": round(n_docs / best, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,10 @@ from typing import Any, Iterator
 
 from engine.codec import encode_page
 
+# Bump when generated content changes — cache directories key on this so a
+# stale bench corpus is never compared against goldens from newer rules.
+FIXTURE_VERSION = 2
+
 CONTENT_LINES = [
     "التاريخ: 12.04.2025",
     "اسم المريض: مريض تجريبي رقم {n}",
@@ -92,11 +96,24 @@ IDCARD_LINES = [
     "الشركة: شركة الضمان",
 ]
 
+# 8-column service table matching engine.tables.KEYS_8
+# (code, service_description_ar, date, unit_price, quantity, company_price,
+#  patient_price, amount) + section row + الإجمالي subtotal row.
 JANZOUR_TABLE_LINES = [
-    "<table><tr><th>الكود</th><th>الخدمة</th><th>التاريخ</th><th>القيمة</th></tr>",
-    "<tr><td>BIO{n:04d}</td><td>تحليل دم شامل</td><td>12.04.2025</td><td>125.500</td></tr>",
-    "<tr><td>SPE{n:04d}</td><td>فحص تخصصي</td><td>13.04.2025</td><td>85.000</td></tr>",
-    "<tr><td></td><td>الإجمالي</td><td></td><td>210.500</td></tr></table>",
+    "<table><tr><th>الكود</th><th>الخدمة</th><th>التاريخ</th><th>السعر</th>"
+    "<th>الكمية</th><th>الشركة</th><th>المريض</th><th>القيمة</th></tr>",
+    "<tr><td>قسم المختبر</td><td></td><td></td><td></td><td></td><td></td><td></td><td></td></tr>",
+    "<tr><td>BIO{n:04d}</td><td>تحليل دم شامل</td><td>12.04.2025</td><td>125.500</td>"
+    "<td>1</td><td>100.000</td><td>25.500</td><td>125.500</td></tr>",
+    "<tr><td>SPE{n:04d}</td><td>فحص تخصصي</td><td>13.04.2025</td><td>85.000</td>"
+    "<td>1</td><td>60.000</td><td>25.000</td><td>85.000</td></tr>",
+    "<tr><td></td><td>الإجمالي</td><td></td><td></td><td></td><td></td><td></td><td>210.500</td></tr></table>",
+]
+
+# 4-column janzour footer table: the الصافي row → total/paid/amount_due.
+JANZOUR_FOOTER_LINES = [
+    "<table><tr><th>البيان</th><th>القيمة</th><th>المدفوع</th><th>المتبقي</th></tr>",
+    "<tr><td>الصافي</td><td>210.500</td><td>150.000</td><td>60.500</td></tr></table>",
 ]
 
 PAGE_KINDS_WEIGHTED = (
@@ -162,6 +179,8 @@ def _media_page(rng: random.Random) -> dict[str, Any]:
         title = SERVICES_TITLE
         body = [_fmt(l, rng) for l in rng.sample(CONTENT_LINES[:6], k=3)]
         body += [_fmt(l, rng) for l in JANZOUR_TABLE_LINES]
+        if rng.random() < 0.5:
+            body += list(JANZOUR_FOOTER_LINES)
     elif kind == "janzour_receipt":
         labels = ["doc_title", "table"]
         title = f"إيصال رقم {rng.randint(1000, 99999)}"

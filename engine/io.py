@@ -1,0 +1,63 @@
+"""Sinks, checkpointing and resume (S4/S5/S7, X4/X5 — SURVEY.md §2.1, §2.9).
+
+The reference spills per-PDF interim JSON so blobs never ride the broker and a
+crashed batch can restart from files (/root/reference/app/tasks.py:444-466,
+548-549), relies on Celery acks_late redelivery for worker death
+(tasks.py:534-540), and expires results after 72 h (tasks.py:306-327).  Here:
+
+- ``materialize_run``: write the span spine ONCE (the \"interim\" checkpoint),
+  then derive spans_out / lineage / metrics from the written copy — one pass
+  over the expensive branches regardless of how many outputs are read.
+  On a cluster this directory is an Iceberg table (``writeTo(...).append()``)
+  and snapshot expiry replaces the retention job; local parquet keeps the
+  layout identical.
+- ``resume_filter``: deterministic row identity is (doc_id, offset) — restart
+  anti-joins the already-checkpointed doc_ids so only unfinished documents
+  re-run (replaces acks_late redelivery with data-level idempotence).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.assemble import reassemble
+from engine.metrics import lineage_df, metrics_df
+from engine.pipeline import build_spine
+
+
+def spine_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "spine")
+
+
+def materialize_run(
+    spark: SparkSession,
+    spans: DataFrame,
+    blobs: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_media_parts: int | None = None,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """Run the pipeline with a durable spine checkpoint; returns the three
+    output frames read back from disk (cheap narrow scans, re-runnable)."""
+    todo = spans
+    spath = spine_path(out_dir)
+    if resume and os.path.isdir(spath):
+        done = spark.read.parquet(spath).select("doc_id").distinct()
+        todo = spans.join(done, "doc_id", "left_anti")
+    spine = build_spine(spark, todo, blobs, n_media_parts)
+    spine.write.mode("append").parquet(spath)
+
+    full = spark.read.parquet(spath)
+    out = {
+        "spans_out": reassemble(full),
+        "lineage": lineage_df(full, run_id),
+        "metrics": metrics_df(full, run_id),
+    }
+    for name in ("spans_out", "lineage", "metrics"):
+        out[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        out[name] = spark.read.parquet(os.path.join(out_dir, name))
+    return out

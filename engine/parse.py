@@ -1,0 +1,210 @@
+"""Header / idcard key-value parsers (F14-F17, F20) and the canonical
+document builder (SURVEY.md §2.8, §2.5 A5, §2.6 W4/W5).
+
+Pure Column expressions over a document's joined text.  Reference:
+/root/reference/app/core/parsers/header_parser.py (massara mode :27-61,
+invoice mode :63-175, janzour mode :177-214, idcard :219-245) and the
+canonical JSON templates at pdf_processor.py:219-271 / :459-514.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from engine import tables, textops
+
+_ML = "(?m)"  # multiline flag — labels sit at line starts
+
+
+def _grab(text: Column, pattern: str, group: int = 1) -> Column:
+    """First regex group; '' → null (the reference leaves absent fields null)."""
+    got = F.regexp_extract(text, _ML + pattern, group)
+    return F.when(got != "", textops.clean_field(got))
+
+
+def _line_number_after(text: Column, label: str) -> Column:
+    """Massara footer rule (header_parser.py:50-61): on the line containing
+    the label, take the first number-looking token."""
+    pat = rf"{label}[^\n]*?([\d][\d, .]*)"
+    return _grab(text, pat)
+
+
+# ---------------------------------------------------------------------------
+# F14 — massara header (mode ""):  6 labeled fields + footer totals
+# ---------------------------------------------------------------------------
+
+
+def parse_header_massara(text: Column) -> Column:
+    return F.struct(
+        _grab(text, r"رقم الفاتورة\s*:?\s*\**([^\n*]+)").alias("invoice_number"),
+        _grab(text, r"رقم الملف\s*:?\s*\**([^\n*]+)").alias("file_number"),
+        _grab(text, r"اسم المريض\s*:?\s*\**([^\n*]+)").alias("patient_name"),
+        textops.extract_date_default(
+            F.coalesce(_grab(text, r"التاريخ\s*:?\s*\**([^\n*]+)"), F.lit(""))
+        ).alias("date"),
+        _grab(text, r"الجهة\s*:?\s*\**([^\n*]+)").alias("company"),
+        _line_number_after(text, "الاجمالي").alias("net_total_amount"),
+        _line_number_after(text, "المدفوع").alias("paid"),
+        _line_number_after(text, "المتبقي").alias("amount_due"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F16 — janzour header: report date + stay range + labeled fields
+# ---------------------------------------------------------------------------
+
+_STAY_RE = (
+    r"الإقامة\s*:?\s*من\s+(\S+)\s+(\d{1,2}:\d{2})\s+إلى\s+(\S+)\s+(\d{1,2}:\d{2})"
+)
+
+
+def parse_header_janzour(text: Column) -> Column:
+    jz = textops.normalize_jz_date
+    return F.struct(
+        textops.extract_date_default(
+            F.coalesce(_grab(text, r"التاريخ\s*:?\s*\**([^\n*]+)"), F.lit(""))
+        ).alias("report_date"),
+        _grab(text, r"اسم المريض\s*:?\s*\**([^\n*]+)").alias("patient_name"),
+        _grab(text, r"رقم الدخول\s*:?\s*\**([^\n*]+)").alias("admission_number"),
+        _grab(text, r"الرقم الطبي\s*:?\s*\**([^\n*]+)").alias("medical_number"),
+        _grab(text, r"الجهة\s*:?\s*\**([^\n*]+)").alias("company"),
+        jz(F.coalesce(_grab(text, _STAY_RE, 1), F.lit(""))).alias("admission_date"),
+        _grab(text, _STAY_RE, 2).alias("admission_time"),
+        jz(F.coalesce(_grab(text, _STAY_RE, 3), F.lit(""))).alias("discharge_date"),
+        _grab(text, _STAY_RE, 4).alias("discharge_time"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F17 — idcard fields (header_parser.py:219-245) + F20 id format rule
+# ---------------------------------------------------------------------------
+
+
+def parse_idcard(text: Column) -> Column:
+    id_num = F.regexp_extract(text, textops.ID_PATTERN, 0)
+    return F.struct(
+        _grab(text, r"اسم المستفيد\s*:?\s*\**([^\n*]+)").alias("beneficiary_name"),
+        F.when(id_num != "", id_num).alias("national_id"),
+        _grab(text, r"الصلاحية\s*:?\s*\**([^\n*]+)").alias("validity"),
+        _grab(text, r"الشركة\s*:?\s*\**([^\n*]+)").alias("company"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical document: sections + footer from service tables (A5, W4, W5)
+# ---------------------------------------------------------------------------
+
+
+def extract_sections(doc_text: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text-with-html-tables) → (doc_id, sections array, footer struct).
+
+    Row-level relational build: explode table rows, tag each item with the
+    nearest preceding section marker (F11's last-non-null window,
+    table_parser.py:26-48), group back per (doc, section), then assemble.
+    Footer: explicit الصافي row wins; else net_total_amount = SUM of section
+    subtotals — 'the only allowed calculation' (A5, pdf_processor.py:165-179).
+    """
+    tbl = F.regexp_extract_all(F.col(text_col), F.lit(r"(?s)(<table>.*?</table>)"), 1)
+    per_table = (
+        doc_text.select("doc_id", F.posexplode(tbl).alias("tpos", "html"))
+        .withColumn("rows", tables.parse_service_rows(F.col("html")))
+        .withColumn("subtotal", tables.parse_section_subtotal(F.col("html")))
+        .withColumn("footer_try", tables.parse_janzour_footer(F.col("html")))
+    )
+    rows = per_table.select(
+        "doc_id",
+        "tpos",
+        "subtotal",
+        "footer_try",
+        F.posexplode_outer("rows").alias("rpos", "row"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("tpos", "rpos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = rows.withColumn(
+        "section_name", F.last(F.col("row.section_marker"), ignorenulls=True).over(w)
+    )
+    items = rows.filter(F.col("row.item").isNotNull())
+    sections = (
+        items.groupBy("doc_id", "tpos", "subtotal", "section_name")
+        .agg(F.array_sort(F.collect_list(F.struct("rpos", F.col("row.item").alias("it")))).alias("_o"))
+        .select(
+            "doc_id",
+            "tpos",
+            F.struct(
+                F.col("section_name"),
+                F.col("subtotal").alias("section_subtotal"),
+                F.transform("_o", lambda s: s["it"]).alias("items"),
+            ).alias("section"),
+        )
+    )
+    per_doc_sections = sections.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("tpos", "section"))), lambda s: s["section"]
+        ).alias("sections")
+    )
+    # footer: first table with an explicit الصافي row wins (W4 first-occurrence);
+    # fall back to A5 sum of section subtotals.
+    footers = (
+        per_table.filter(F.col("footer_try.net_total_amount").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.min_by("footer_try", "tpos").alias("footer_explicit"))
+    )
+    subtotal_sum = (
+        per_table.filter(F.col("subtotal").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(textops.coerce_price(F.col("subtotal"))).cast("double")).alias("subtotal_sum")
+        )
+    )
+    out = (
+        doc_text.select("doc_id")
+        .join(per_doc_sections, "doc_id", "left")
+        .join(footers, "doc_id", "left")
+        .join(subtotal_sum, "doc_id", "left")
+        .select(
+            "doc_id",
+            "sections",
+            F.when(F.col("footer_explicit").isNotNull(), F.col("footer_explicit"))
+            .otherwise(
+                F.struct(
+                    F.when(
+                        F.col("subtotal_sum").isNotNull(),
+                        F.format_number(F.col("subtotal_sum"), 3),
+                    ).alias("net_total_amount"),
+                    F.lit(None).cast("string").alias("paid"),
+                    F.lit(None).cast("string").alias("amount_due"),
+                )
+            )
+            .alias("footer"),
+        )
+    )
+    return out
+
+
+def extract_documents(spans_out: DataFrame, mode_hint: str = "janzour") -> DataFrame:
+    """spans_out → canonical extracted documents:
+    (doc_id, header struct, sections, footer) — the Spark equivalent of the
+    reference's GPT-extraction stage (E2) built from the native parsers."""
+    joined = spans_out.select(
+        "doc_id",
+        F.array_join(
+            F.transform("spans_out", lambda s: F.coalesce(s["text"], F.lit(""))), "\n"
+        ).alias("text"),
+    )
+    secs = extract_sections(joined)
+    return (
+        joined.join(secs, "doc_id", "left")
+        .select(
+            "doc_id",
+            parse_header_janzour(F.col("text")).alias("header_janzour"),
+            parse_header_massara(F.col("text")).alias("header_massara"),
+            parse_idcard(F.col("text")).alias("idcard"),
+            "sections",
+            "footer",
+        )
+    )

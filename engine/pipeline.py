@@ -5,15 +5,15 @@ hop graph (/root/reference/app/tasks.py:76-96 chain; 534-650 batch):
 
   read spans → explode → branch by kind
     text  branch: normalize (F1/F4, W1/W2) → boilerplate classify → status
-    media branch: join media_blobs → salt-spread → fused decode UDF →
-                  route (P3-P8) → region strip → normalize → status
+    media branch: span-metadata broadcast into the blobs scan → fused decode
+                  UDF → route (P3-P8) → region strip → normalize → status
   → union (J5: skipped spans rejoin, nothing is filter-and-forgotten)
   → per-doc offset-sorted re-nest (A2)  +  lineage + metrics (X4, S6)
 
-Catalyst gets the whole plan: predicate pushdown into the parquet scan, one
-shuffle for the blobs join, one for the re-nest; the only Python is the Arrow
-decode batch.  The span spine is persisted once and fans out to the three
-outputs (spans_out / lineage / metrics) without recompute.
+Catalyst gets the whole plan: predicate pushdown into the parquet scan, ONE
+shuffle total (the re-nest) — payload bytes never shuffle; the only Python is
+the Arrow decode batch.  For multi-output consumption, checkpoint the spine
+once via engine.io.materialize_run instead of caching it in executors.
 """
 
 from __future__ import annotations
@@ -30,7 +30,6 @@ from engine.assemble import reassemble
 from engine.layout import decode_media
 from engine.metrics import lineage_df, metrics_df, observed
 from engine.routing import route
-from engine.skew import spread
 
 
 @dataclass
@@ -71,12 +70,51 @@ def _text_branch(ex: DataFrame) -> DataFrame:
 
 
 def _media_branch(ex: DataFrame, blobs: DataFrame, n_media_parts: int) -> DataFrame:
-    """Media-kind spans: blobs join → salt-spread → decode → route → strip."""
-    med = ex.filter(F.col("kind") == "media").join(blobs, "media_ref", "left")
-    # Scatter oversized payloads BEFORE the expensive decode so no partition
-    # accumulates several giant blobs (skew policy, engine.skew).
-    med = spread(med, n_media_parts, "doc_id", "offset")
-    med = med.withColumn("feats", decode_media(F.col("payload"))).drop("payload")
+    """Media-kind spans: decode at the blobs scan → join features to span
+    metadata → route → strip.
+
+    The scale decision: payload bytes are ~1000× everything else, so they are
+    consumed WHERE THEY ARE READ — the Arrow decode UDF sits directly on the
+    blobs FileScan (splits sized by spark.sql.files.maxPartitionBytes) and
+    only the decoded features join the span metadata.  Verified plan shape:
+    FileScan → ArrowEvalPython → Exchange[media_ref](features only) → join.
+    No payload byte ever enters a shuffle, no side needs driver broadcast, so
+    the same plan holds at 10^12 spans (where it runs as an SMJ / bucketed
+    join on media_ref).
+    """
+    meta = ex.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "kind", "media_ref"
+    )
+    # Decode AT THE SCAN: payload bytes go scan-partition → Arrow UDF → gone;
+    # only the decoded features (text-sized) enter the join shuffle.  The
+    # repartition on the join key is deliberate: it (a) pins the Arrow stage's
+    # parallelism (byte-based AQE coalescing would starve a CPU-bound UDF) and
+    # (b) IS the join's required distribution, so no extra exchange appears.
+    # Alternatives measured worse or don't scale: joining meta into the blobs
+    # SMJ shuffles every payload byte twice (3-5× slower at 32 threads);
+    # broadcasting meta caps at driver memory (10^12 spans won't broadcast).
+    decoded = blobs.withColumn("feats", decode_media(F.col("payload"))).select(
+        "media_ref", "feats"
+    )
+    decoded = decoded.repartition(n_media_parts, "media_ref")
+    med = meta.join(decoded, "media_ref", "left")
+    # blob missing entirely → same error lineage path as a corrupt payload
+    med = med.withColumn(
+        "feats",
+        F.when(F.col("feats").isNotNull(), F.col("feats")).otherwise(
+            F.struct(
+                F.lit(None).cast("string").alias("page_kind"),
+                F.lit(None).cast("array<string>").alias("labels"),
+                F.lit(None).cast("string").alias("title_text"),
+                F.lit(None).cast("array<string>").alias("body_lines"),
+                F.lit(None).cast("boolean").alias("has_qr"),
+                F.lit(None).cast("boolean").alias("qr_rotated"),
+                F.lit(None).cast("array<string>").alias("boilerplate"),
+                F.lit(None).cast("double").alias("conf"),
+                F.lit("missing_blob").alias("decode_error"),
+            )
+        ),
+    )
 
     mode, skip_reason = route(F.col("feats"))
     med = med.withColumn("mode", mode).withColumn("skip_reason", skip_reason)
@@ -158,9 +196,18 @@ def run_extraction(
     blobs: DataFrame,
     run_id: str | None = None,
     n_media_parts: int | None = None,
-    persist: bool = True,
+    persist: bool = False,
 ) -> ExtractionResult:
-    """The single public entry: spans + blobs in, three output frames out."""
+    """The single public entry: spans + blobs in, three output frames out.
+
+    ``persist=False`` by default: executor-cache writes of the full decoded
+    spine measurably serialize under high core counts (32-thread local bench:
+    ~5× slowdown), and at real scale the right amortization for multi-output
+    consumption is writing the spine ONCE to a checkpoint table and deriving
+    spans_out/lineage/metrics from that (engine.io.materialize_run) — not
+    caching it in executor memory.  Set persist=True only for small
+    interactive runs that read all three outputs ad hoc.
+    """
     run_id = run_id or uuid.uuid4().hex[:12]
     spine = build_spine(spark, spans, blobs, n_media_parts)
     spine, obs = observed(spine)

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Media payloads are decoded on the SCAN partitions (no payload
+        # shuffle); smaller splits keep the Arrow-UDF stage parallel even for
+        # modest inputs.  At cluster scale this is the per-executor knob too.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

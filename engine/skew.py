@@ -29,6 +29,11 @@ def salt_col(n_salt: int, *cols: Column | str) -> Column:
 
 def spread(df: DataFrame, n_parts: int, *cols: str) -> DataFrame:
     """Repartition by a deterministic salt over ``cols`` to scatter oversized
-    rows, breaking any correlation between input file order and payload size."""
-    salted = df.withColumn("__salt", salt_col(n_parts, *cols))
+    rows, breaking any correlation between input file order and payload size.
+
+    The salt domain is 16× the partition count: hashing a salt whose domain
+    equals n_parts balls-in-bins ~1/3 of the partitions empty and others
+    doubled; a wide domain keeps partition sizes within a few percent.
+    """
+    salted = df.withColumn("__salt", salt_col(n_parts * 16, *cols))
     return salted.repartition(n_parts, "__salt").drop("__salt")

@@ -1,0 +1,200 @@
+"""HTML-table parsing (F10-F13 — SURVEY.md §2.8) as pure Column expressions.
+
+The reference parses OCR'd ``<table>`` HTML with BeautifulSoup
+(/root/reference/app/core/parsers/table_parser.py:66-255); here the tokenizer
+is ``regexp_extract_all`` (the OCR contract emits simple well-formed tables —
+no nesting, no attributes that matter), so the whole layer stays JVM-side in
+whole-stage codegen.  Three modes, dispatched on column count like the
+reference (table_parser.py:187-210):
+
+- KEYS_11 / KEYS_10 / KEYS_8 positional service-table mappings;
+- janzour 4-column footer: the ``الصافي`` row → net_total_amount/paid/amount_due
+  (table_parser.py:147-181);
+- section rows: exactly one non-empty cell, Arabic, no digits
+  (table_parser.py:10-23), associated to following items via a
+  last-non-null window (find_section_for_table, table_parser.py:26-48).
+
+Column-position mappings are this engine's documented contract (the
+reference's exact Arabic header orders are prompt-induced and model-dependent;
+fixtures use the same contract so goldens are exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from engine.textops import ARABIC_RE
+
+_TR_RE = "(?s)<tr[^>]*>(.*?)</tr>"
+_TD_RE = "(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+
+# Positional keys per column count — item fields in ITEM_STRUCT order names.
+KEYS_11 = [
+    "code",
+    "service_description_ar",
+    "service_description_en",
+    "date",
+    "time",
+    "unit_price",
+    "quantity",
+    "company_price",
+    "patient_price",
+    "net_price",
+    "amount",
+]
+KEYS_10 = [k for k in KEYS_11 if k != "time"]
+KEYS_8 = [
+    "code",
+    "service_description_ar",
+    "date",
+    "unit_price",
+    "quantity",
+    "company_price",
+    "patient_price",
+    "amount",
+]
+
+SUBTOTAL_LIT = "الإجمالي"
+NET_LIT = "الصافي"
+GRAND_TOTAL_LIT = "المبلغ الإجمالي"
+
+
+def html_rows(html: Column) -> Column:
+    """<table> html → array<array<string>> of trimmed cell texts per row."""
+    rows = F.regexp_extract_all(html, F.lit(_TR_RE), 1)
+    # NB: the inner callable must be unary — transform() passes (element,
+    # index) to binary callables, so a bare F.trim would receive the INDEX as
+    # its trim-characters argument and eat digits.
+    return F.transform(
+        rows,
+        lambda r: F.transform(
+            F.regexp_extract_all(r, F.lit(_TD_RE), 1), lambda c: F.trim(c)
+        ),
+    )
+
+
+def flatten_table_lines(html: Column) -> Column:
+    """F13 — header-table flatten: each <tr> becomes one 'cell cell …' line
+    (extract_plain_from_header_table, table_parser.py:51-63)."""
+    return F.filter(
+        F.transform(html_rows(html), lambda cells: F.array_join(cells, " ")),
+        lambda line: line != "",
+    )
+
+
+def is_section_row(cells: Column) -> Column:
+    """F10 — exactly one non-empty cell, Arabic, no digits (table_parser.py:10-23)."""
+    non_empty = F.filter(cells, lambda c: c != "")
+    joined = F.array_join(cells, " ")
+    return (
+        (F.size(non_empty) == 1)
+        & joined.rlike(ARABIC_RE)
+        & ~joined.rlike(r"\d")
+    )
+
+
+def _row_has(cells: Column, lit: str) -> Column:
+    return F.exists(cells, lambda c: c.contains(lit))
+
+
+def parse_janzour_footer(html: Column) -> Column:
+    """4-column footer table: the row containing الصافي carries
+    [label, net_total, paid, amount_due] (table_parser.py:147-181).
+    Returns struct(net_total_amount, paid, amount_due) — nulls when absent."""
+    rows = html_rows(html)
+    net_rows = F.filter(rows, lambda r: F.exists(r, lambda c: c.contains(NET_LIT)))
+    row = F.element_at(net_rows, 1)
+    pick = lambda i: F.element_at(row, i)  # noqa: E731
+    empty = F.lit(None).cast("string")
+    return F.when(
+        F.size(net_rows) > 0,
+        F.struct(
+            pick(2).alias("net_total_amount"),
+            pick(3).alias("paid"),
+            pick(4).alias("amount_due"),
+        ),
+    ).otherwise(
+        F.struct(
+            empty.alias("net_total_amount"), empty.alias("paid"), empty.alias("amount_due")
+        )
+    )
+
+
+def _pad(cells: Column, n: int) -> Column:
+    """Pad/trim a cell row to exactly n cells (table_parser.py:221-224)."""
+    padded = F.concat(cells, F.array_repeat(F.lit(""), n))
+    return F.slice(padded, 1, n)
+
+
+def _item_struct(cells: Column, keys: list[str]) -> Column:
+    """Positional mapping → full ITEM_STRUCT (missing keys → null)."""
+    from engine.schema import ITEM_STRUCT
+
+    padded = _pad(cells, len(keys))
+    fields = []
+    for f in ITEM_STRUCT.fieldNames():
+        if f in keys:
+            fields.append(F.element_at(padded, keys.index(f) + 1).alias(f))
+        else:
+            fields.append(F.lit(None).cast("string").alias(f))
+    return F.struct(*fields)
+
+
+def parse_service_rows(html: Column) -> Column:
+    """Service table → array<struct(section_marker, item)> in row order.
+
+    Row classes (first-match-wins, mirroring table_parser.py:119-122,187-247):
+      header row (row 1)                  → dropped
+      section row (F10)                   → section_marker = its text
+      subtotal row (contains الإجمالي)     → dropped
+      rows with empty code (first cell)   → dropped (table_parser.py:247)
+      else                                → item via KEYS_{8,10,11} by col count
+    Unknown column counts yield no items (reference raises; we null out and
+    let lineage record it).
+    """
+    rows = F.slice(html_rows(html), 2, 100000)  # drop header row
+    ncols = lambda r: F.size(r)  # noqa: E731
+
+    def classify(r: Column) -> Column:
+        section_text = F.trim(F.array_join(F.filter(r, lambda c: c != ""), " "))
+        item = (
+            F.when(ncols(r) == 11, _item_struct(r, KEYS_11))
+            .when(ncols(r) == 10, _item_struct(r, KEYS_10))
+            .when(ncols(r) == 8, _item_struct(r, KEYS_8))
+            .otherwise(F.lit(None))
+        )
+        return (
+            F.when(
+                is_section_row(r),
+                F.struct(
+                    section_text.alias("section_marker"),
+                    F.lit(None).cast(item_type()).alias("item"),
+                ),
+            )
+            .when(_row_has(r, SUBTOTAL_LIT), F.lit(None))
+            .when(F.element_at(r, 1) == "", F.lit(None))
+            .otherwise(
+                F.struct(F.lit(None).cast("string").alias("section_marker"), item.alias("item"))
+            )
+        )
+
+    return F.filter(F.transform(rows, classify), lambda x: x.isNotNull())
+
+
+def item_type() -> str:
+    from engine.schema import ITEM_STRUCT
+
+    return ITEM_STRUCT.simpleString()
+
+
+def parse_section_subtotal(html: Column) -> Column:
+    """Last الإجمالي row's last non-empty numeric-ish cell — the section
+    subtotal (janzour tables end with an الإجمالي row)."""
+    rows = html_rows(html)
+    sub_rows = F.filter(rows, lambda r: _row_has(r, SUBTOTAL_LIT))
+    last = F.element_at(sub_rows, -1)
+    vals = F.filter(last, lambda c: (c != "") & ~c.contains(SUBTOTAL_LIT))
+    return F.when(F.size(sub_rows) > 0, F.element_at(vals, -1)).otherwise(
+        F.lit(None).cast("string")
+    )

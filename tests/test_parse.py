@@ -1,0 +1,172 @@
+"""Unit tests for the table/header/idcard parsing layer (F10-F17, A5, W4/W5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from engine import parse, tables
+
+SERVICE_TABLE_8 = (
+    "<table>"
+    "<tr><th>الكود</th><th>الخدمة</th><th>التاريخ</th><th>السعر</th>"
+    "<th>الكمية</th><th>الشركة</th><th>المريض</th><th>القيمة</th></tr>"
+    "<tr><td>قسم المختبر</td><td></td><td></td><td></td><td></td><td></td><td></td><td></td></tr>"
+    "<tr><td>BIO0001</td><td>تحليل دم</td><td>12.04.2025</td><td>125.500</td>"
+    "<td>1</td><td>100.000</td><td>25.500</td><td>125.500</td></tr>"
+    "<tr><td></td><td>ignored-empty-code</td><td></td><td></td><td></td><td></td><td></td><td>1.0</td></tr>"
+    "<tr><td>SPE0002</td><td>فحص تخصصي</td><td>13.04.2025</td><td>85.000</td>"
+    "<td>2</td><td>60.000</td><td>25.000</td><td>170.000</td></tr>"
+    "<tr><td></td><td>الإجمالي</td><td></td><td></td><td></td><td></td><td></td><td>295.500</td></tr>"
+    "</table>"
+)
+
+FOOTER_TABLE = (
+    "<table>"
+    "<tr><th>البيان</th><th>القيمة</th><th>المدفوع</th><th>المتبقي</th></tr>"
+    "<tr><td>الصافي</td><td>295.500</td><td>200.000</td><td>95.500</td></tr>"
+    "</table>"
+)
+
+
+def _df(spark, text):
+    return spark.createDataFrame([("d1", text)], "doc_id: string, text: string")
+
+
+def test_html_rows_and_flatten(spark):
+    df = _df(spark, FOOTER_TABLE)
+    rows = df.select(tables.html_rows(F.col("text")).alias("r")).collect()[0]["r"]
+    assert rows[1] == ["الصافي", "295.500", "200.000", "95.500"]
+    lines = df.select(tables.flatten_table_lines(F.col("text")).alias("l")).collect()[0]["l"]
+    assert lines[1] == "الصافي 295.500 200.000 95.500"
+
+
+def test_janzour_footer(spark):
+    df = _df(spark, FOOTER_TABLE)
+    got = df.select(tables.parse_janzour_footer(F.col("text")).alias("f")).collect()[0]["f"]
+    assert (got["net_total_amount"], got["paid"], got["amount_due"]) == (
+        "295.500",
+        "200.000",
+        "95.500",
+    )
+
+
+def test_service_rows_sections_and_items(spark):
+    df = _df(spark, SERVICE_TABLE_8)
+    rows = df.select(tables.parse_service_rows(F.col("text")).alias("r")).collect()[0]["r"]
+    # section marker row, then two items (empty-code + subtotal rows dropped)
+    assert rows[0]["section_marker"] == "قسم المختبر"
+    items = [r["item"] for r in rows if r["item"] is not None]
+    assert [i["code"] for i in items] == ["BIO0001", "SPE0002"]
+    assert items[0]["service_description_ar"] == "تحليل دم"
+    assert items[1]["quantity"] == "2"
+    assert items[1]["amount"] == "170.000"
+
+
+def test_section_subtotal(spark):
+    df = _df(spark, SERVICE_TABLE_8)
+    got = df.select(tables.parse_section_subtotal(F.col("text")).alias("s")).collect()[0]["s"]
+    assert got == "295.500"
+
+
+def test_extract_sections_assembles_doc(spark):
+    text = "header line\n" + SERVICE_TABLE_8 + "\nmiddle\n" + FOOTER_TABLE
+    out = parse.extract_sections(_df(spark, text)).collect()[0]
+    assert out["footer"]["net_total_amount"] == "295.500"
+    [section] = out["sections"]
+    assert section["section_name"] == "قسم المختبر"
+    assert section["section_subtotal"] == "295.500"
+    assert len(section["items"]) == 2
+
+
+def test_footer_fallback_sums_subtotals(spark):
+    # no الصافي table → A5: net_total_amount = sum of section subtotals
+    out = parse.extract_sections(_df(spark, SERVICE_TABLE_8)).collect()[0]
+    assert float(out["footer"]["net_total_amount"]) == 295.5
+    assert out["footer"]["paid"] is None
+
+
+HEADER_JZ = """التاريخ: 12.04.2025
+اسم المريض: **مريض تجريبي**
+رقم الدخول: 554
+الرقم الطبي: 9911
+الجهة: شركة الضمان
+الإقامة: من 24/04/2025 18:48 إلى 26/04/2025 12:32"""
+
+
+def test_parse_header_janzour(spark):
+    got = _df(spark, HEADER_JZ).select(
+        parse.parse_header_janzour(F.col("text")).alias("h")
+    ).collect()[0]["h"]
+    assert got["report_date"] == "2025-04-12"
+    assert got["patient_name"] == "مريض تجريبي"  # F1 clean_field strips ** runs
+    assert got["admission_number"] == "554"
+    assert got["admission_date"] == "24/04/2025"
+    assert got["admission_time"] == "18:48"
+    assert got["discharge_date"] == "26/04/2025"
+    assert got["discharge_time"] == "12:32"
+
+
+HEADER_MASSARA = """رقم الفاتورة: 7710
+رقم الملف: F-220
+اسم المريض: مريض مسرة
+التاريخ: 05.01.2025
+الجهة: الشركة الوطنية
+الاجمالي: 25,985.000 دينار
+المدفوع: 10,762.500
+المتبقي: 15,222.500"""
+
+
+def test_parse_header_massara(spark):
+    got = _df(spark, HEADER_MASSARA).select(
+        parse.parse_header_massara(F.col("text")).alias("h")
+    ).collect()[0]["h"]
+    assert got["invoice_number"] == "7710"
+    assert got["file_number"] == "F-220"
+    assert got["date"] == "2025-01-05"
+    assert got["net_total_amount"] == "25,985.000"
+    assert got["paid"] == "10,762.500"
+    assert got["amount_due"] == "15,222.500"
+
+
+IDCARD = """اسم المستفيد: مستفيد رقم 7
+ACA-0000-00080-X1Z
+الصلاحية: 16-02-2026 - 17-02-2025
+الشركة: شركة الضمان"""
+
+
+def test_parse_idcard_zeros_preserved(spark):
+    got = _df(spark, IDCARD).select(parse.parse_idcard(F.col("text")).alias("h")).collect()[0][
+        "h"
+    ]
+    assert got["national_id"] == "ACA-0000-00080-X1Z"
+    assert got["beneficiary_name"] == "مستفيد رقم 7"
+    assert got["validity"] == "16-02-2026 - 17-02-2025"
+
+
+def test_extract_documents_end_to_end(spark):
+    from engine.schema import SPAN_STRUCT
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("spans_out", ArrayType(SPAN_STRUCT), False),
+        ]
+    )
+    spans_out = spark.createDataFrame(
+        [
+            {
+                "doc_id": "d9",
+                "spans_out": [
+                    {"kind": "text", "text": HEADER_JZ, "media_ref": None, "offset": 0},
+                    {"kind": "media", "text": SERVICE_TABLE_8, "media_ref": "m1", "offset": 1},
+                    {"kind": "media", "text": FOOTER_TABLE, "media_ref": "m2", "offset": 2},
+                ],
+            }
+        ],
+        schema,
+    )
+    out = parse.extract_documents(spans_out).collect()[0]
+    assert out["header_janzour"]["admission_number"] == "554"
+    assert out["footer"]["net_total_amount"] == "295.500"
+    assert out["sections"][0]["items"][0]["code"] == "BIO0001"
