@@ -25,11 +25,22 @@ SEED = 1234
 
 
 def run_level(cores: int, corpus: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, str(REPO / "bench" / "run_scale.py"),
-         "--cores", str(cores), "--corpus", corpus],
-        capture_output=True, text=True, check=True, cwd=str(REPO),
-    )
+    """Run one parallelism level PINNED to `cores` physical CPUs.
+
+    Pinning (taskset) is what makes the comparison honest: a local[N] JVM
+    plus its Python UDF workers otherwise consumes ~2N physical cores (task
+    slots bound the JVM threads, not the Arrow workers), which inflates the
+    small level's throughput and understates scaling.  With pinning, 'N
+    cores' emulates an N-core executor allocation the way a cluster
+    manager's cgroups would.
+    """
+    cmd = [sys.executable, str(REPO / "bench" / "run_scale.py"),
+           "--cores", str(cores), "--corpus", corpus]
+    import shutil as _sh
+
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=str(REPO))
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
