@@ -38,13 +38,13 @@ def _line_number_after(text: Column, label: str) -> Column:
 
 def parse_header_massara(text: Column) -> Column:
     return F.struct(
-        _grab(text, r"رقم الفاتورة\s*:?\s*\**([^\n*]+)").alias("invoice_number"),
-        _grab(text, r"رقم الملف\s*:?\s*\**([^\n*]+)").alias("file_number"),
-        _grab(text, r"اسم المريض\s*:?\s*\**([^\n*]+)").alias("patient_name"),
+        _grab(text, r"رقم الفاتورة\s*:?\s*\**([^\s:*][^\n*]*)").alias("invoice_number"),
+        _grab(text, r"رقم الملف\s*:?\s*\**([^\s:*][^\n*]*)").alias("file_number"),
+        _grab(text, r"اسم المريض\s*:?\s*\**([^\s:*][^\n*]*)").alias("patient_name"),
         textops.extract_date_default(
-            F.coalesce(_grab(text, r"التاريخ\s*:?\s*\**([^\n*]+)"), F.lit(""))
+            F.coalesce(_grab(text, r"التاريخ\s*:?\s*\**([^\s:*][^\n*]*)"), F.lit(""))
         ).alias("date"),
-        _grab(text, r"الجهة\s*:?\s*\**([^\n*]+)").alias("company"),
+        _grab(text, r"الجهة\s*:?\s*\**([^\s:*][^\n*]*)").alias("company"),
         _line_number_after(text, "الاجمالي").alias("net_total_amount"),
         _line_number_after(text, "المدفوع").alias("paid"),
         _line_number_after(text, "المتبقي").alias("amount_due"),
@@ -64,16 +64,134 @@ def parse_header_janzour(text: Column) -> Column:
     jz = textops.normalize_jz_date
     return F.struct(
         textops.extract_date_default(
-            F.coalesce(_grab(text, r"التاريخ\s*:?\s*\**([^\n*]+)"), F.lit(""))
+            F.coalesce(_grab(text, r"التاريخ\s*:?\s*\**([^\s:*][^\n*]*)"), F.lit(""))
         ).alias("report_date"),
-        _grab(text, r"اسم المريض\s*:?\s*\**([^\n*]+)").alias("patient_name"),
-        _grab(text, r"رقم الدخول\s*:?\s*\**([^\n*]+)").alias("admission_number"),
-        _grab(text, r"الرقم الطبي\s*:?\s*\**([^\n*]+)").alias("medical_number"),
-        _grab(text, r"الجهة\s*:?\s*\**([^\n*]+)").alias("company"),
+        _grab(text, r"اسم المريض\s*:?\s*\**([^\s:*][^\n*]*)").alias("patient_name"),
+        _grab(text, r"رقم الدخول\s*:?\s*\**([^\s:*][^\n*]*)").alias("admission_number"),
+        _grab(text, r"الرقم الطبي\s*:?\s*\**([^\s:*][^\n*]*)").alias("medical_number"),
+        _grab(text, r"الجهة\s*:?\s*\**([^\s:*][^\n*]*)").alias("company"),
         jz(F.coalesce(_grab(text, _STAY_RE, 1), F.lit(""))).alias("admission_date"),
         _grab(text, _STAY_RE, 2).alias("admission_time"),
         jz(F.coalesce(_grab(text, _STAY_RE, 3), F.lit(""))).alias("discharge_date"),
         _grab(text, _STAY_RE, 4).alias("discharge_time"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F15 — invoice-mode header (header_parser.py:63-175): label-alias map with
+# adjacency fallbacks.  Priorities per field, first-occurrence-wins (W4):
+#   1. value after the label on the same line
+#   2. value before the label on the same line
+#   3. previous-line fallback (invoice_number only, header_parser.py:138-143)
+#   4. up-to-3-line lookahead after a bare label line (header_parser.py:144-155)
+# Relational build: explode lines → lead/lag adjacency columns → candidate
+# rows (field, priority, pos, value) → min-by (priority, pos) per field.
+# ---------------------------------------------------------------------------
+
+INVOICE_FIELD_ALIASES: dict[str, list[str]] = {
+    "invoice_number": ["رقم الفاتورة", "رقم الايصال"],
+    "file_number": ["رقم الملف", "رقم ملف المريض"],
+    "patient_name": ["اسم المريض", "المريض"],
+    "date": ["التاريخ", "تاريخ الفاتورة"],
+    "time": ["الوقت", "الساعة"],
+    "company": ["الجهة", "الشركة", "جهة العلاج"],
+    "policy_number": ["رقم البوليصة", "رقم العقد"],
+    "doctor": ["الطبيب", "اسم الطبيب"],
+    "department": ["القسم", "العيادة"],
+}
+_PREV_LINE_FIELDS = {"invoice_number"}
+_LOOKAHEAD = 3
+
+
+def _value_like(col: Column) -> Column:
+    """A line usable as a standalone value: non-empty, not itself a label."""
+    is_label = F.lit(False)
+    for aliases in INVOICE_FIELD_ALIASES.values():
+        for a in aliases:
+            is_label = is_label | col.contains(a)
+    return (col != "") & ~is_label
+
+
+def parse_header_invoice(doc_text: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, header_invoice struct) via exploded lines."""
+    lines = doc_text.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line", F.trim(textops.normalize_bidi(F.col("line"))))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lines = (
+        lines.withColumn("prev", F.lag("line").over(w))
+        .withColumn("next1", F.lead("line", 1).over(w))
+        .withColumn("next2", F.lead("line", 2).over(w))
+        .withColumn("next3", F.lead("line", 3).over(w))
+    )
+
+    cands = []
+    for field_name, aliases in INVOICE_FIELD_ALIASES.items():
+        for alias in aliases:
+            after = _grab(F.col("line"), rf"{alias}\s*:?\s*\**([^\s:*].*)")
+            before = _grab(F.col("line"), rf"^\s*\**([^:\n]+?)\s*\**\s*{alias}\s*:?\s*$")
+            bare = F.col("line").rlike(rf"^\s*\**{alias}\s*:?\s*\**\s*$")
+            lookahead = F.coalesce(
+                *[
+                    F.when(_value_like(F.col(c)), F.col(c))
+                    for c in ("next1", "next2", "next3")[:_LOOKAHEAD]
+                ]
+            )
+            sel = [
+                (F.lit(1), after),
+                (F.lit(2), before),
+                (F.lit(4), F.when(bare, lookahead)),
+            ]
+            if field_name in _PREV_LINE_FIELDS:
+                sel.append((F.lit(3), F.when(bare & _value_like(F.col("prev")), F.col("prev"))))
+            for prio, val in sel:
+                cands.append(
+                    lines.select(
+                        "doc_id",
+                        "pos",
+                        F.lit(field_name).alias("field"),
+                        prio.alias("prio"),
+                        val.alias("value"),
+                    ).filter(F.col("value").isNotNull() & (F.trim(F.col("value")) != ""))
+                )
+    all_cands = cands[0]
+    for c in cands[1:]:
+        all_cands = all_cands.unionByName(c)
+
+    # W4: first occurrence wins within the best priority
+    best = all_cands.groupBy("doc_id", "field").agg(
+        F.min_by(
+            F.struct(F.col("value")), F.struct(F.col("prio"), F.col("pos"))
+        ).alias("picked")
+    )
+    pivoted = (
+        best.groupBy("doc_id")
+        .pivot("field", list(INVOICE_FIELD_ALIASES))
+        .agg(F.first(F.col("picked.value")))
+    )
+    fixed = pivoted.select(
+        "doc_id",
+        F.struct(
+            *[
+                (
+                    textops.extract_date_default(F.coalesce(F.col(f), F.lit(""))).alias(f)
+                    if f == "date"
+                    else textops.clean_field(F.coalesce(F.col(f), F.lit(""))).alias(f)
+                )
+                for f in INVOICE_FIELD_ALIASES
+            ]
+        ).alias("header_invoice"),
+    )
+    # '' back to null (clean_field of a missing value)
+    return fixed.select(
+        "doc_id",
+        F.struct(
+            *[
+                F.when(F.col(f"header_invoice.{f}") != "", F.col(f"header_invoice.{f}")).alias(f)
+                for f in INVOICE_FIELD_ALIASES
+            ]
+        ).alias("header_invoice"),
     )
 
 
@@ -85,10 +203,10 @@ def parse_header_janzour(text: Column) -> Column:
 def parse_idcard(text: Column) -> Column:
     id_num = F.regexp_extract(text, textops.ID_PATTERN, 0)
     return F.struct(
-        _grab(text, r"اسم المستفيد\s*:?\s*\**([^\n*]+)").alias("beneficiary_name"),
+        _grab(text, r"اسم المستفيد\s*:?\s*\**([^\s:*][^\n*]*)").alias("beneficiary_name"),
         F.when(id_num != "", id_num).alias("national_id"),
-        _grab(text, r"الصلاحية\s*:?\s*\**([^\n*]+)").alias("validity"),
-        _grab(text, r"الشركة\s*:?\s*\**([^\n*]+)").alias("company"),
+        _grab(text, r"الصلاحية\s*:?\s*\**([^\s:*][^\n*]*)").alias("validity"),
+        _grab(text, r"الشركة\s*:?\s*\**([^\s:*][^\n*]*)").alias("company"),
     )
 
 

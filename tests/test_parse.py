@@ -170,3 +170,35 @@ def test_extract_documents_end_to_end(spark):
     assert out["header_janzour"]["admission_number"] == "554"
     assert out["footer"]["net_total_amount"] == "295.500"
     assert out["sections"][0]["items"][0]["code"] == "BIO0001"
+
+
+INVOICE_HEADER = """رقم الفاتورة
+INV-2024-778
+اسم المريض: مريض فاتورة
+7755 رقم الملف
+التاريخ: 03.02.2025
+الجهة
+غير معروف؟
+شركة النور للتأمين
+الطبيب: د. أحمد"""
+
+
+def test_parse_header_invoice_adjacency(spark):
+    # covers: bare-label + prev-line (invoice_number picks the NEXT line here
+    # since prev is empty → lookahead), value-before-label (file_number),
+    # value-after-label (patient_name, date, doctor), 3-line lookahead (company)
+    df = _df(spark, INVOICE_HEADER)
+    got = parse.parse_header_invoice(df).collect()[0]["header_invoice"]
+    assert got["invoice_number"] == "INV-2024-778"
+    assert got["file_number"] == "7755"
+    assert got["patient_name"] == "مريض فاتورة"
+    assert got["date"] == "2025-02-03"
+    assert got["company"] == "غير معروف؟"
+    assert got["doctor"] == "د. أحمد"
+    assert got["policy_number"] is None
+
+
+def test_parse_header_invoice_prev_line(spark):
+    text = "A-9988\nرقم الفاتورة:\nsomething else entirely"
+    got = parse.parse_header_invoice(_df(spark, text)).collect()[0]["header_invoice"]
+    assert got["invoice_number"] == "A-9988"
