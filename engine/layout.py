@@ -69,3 +69,91 @@ def _decode_batch(payloads: pd.Series) -> pd.DataFrame:
 
 
 decode_media = F.pandas_udf(_decode_batch, returnType=PAGE_FEATURES_STRUCT)
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow variant — the pipeline's hot path.  Skips the Arrow→pandas→Arrow
+# round-trip (which materializes every payload as a python bytes object twice)
+# by reading buffers straight off the RecordBatch and letting pyarrow build
+# the output struct in C++.  Same decode semantics as _decode_batch.
+# ---------------------------------------------------------------------------
+
+_FEATS_FIELDS = [
+    ("page_kind", "string"),
+    ("labels", "list<string>"),
+    ("title_text", "string"),
+    ("body_lines", "list<string>"),
+    ("has_qr", "bool"),
+    ("qr_rotated", "bool"),
+    ("boilerplate", "list<string>"),
+    ("conf", "double"),
+    ("decode_error", "string"),
+]
+
+
+def _decode_one(raw: bytes | None) -> dict:
+    try:
+        page = codec.decode_page(raw)
+        body = page.get("body_text") or ""
+        return {
+            "page_kind": page.get("page_kind"),
+            "labels": [r["label"] for r in (page.get("regions") or [])],
+            "title_text": page.get("title_text"),
+            "body_lines": body.split("\n") if body else [],
+            "has_qr": bool(page.get("has_qr")),
+            "qr_rotated": bool(page.get("qr_rotated")),
+            "boilerplate": page.get("boilerplate") or [],
+            "conf": float(page.get("conf", 1.0)),
+            "decode_error": None,
+        }
+    except Exception as exc:  # noqa: BLE001 — X3 failure isolation
+        return {
+            "page_kind": None,
+            "labels": None,
+            "title_text": None,
+            "body_lines": None,
+            "has_qr": None,
+            "qr_rotated": None,
+            "boilerplate": None,
+            "conf": None,
+            "decode_error": f"{type(exc).__name__}: {exc}",
+        }
+
+
+def decode_blobs(blobs):
+    """blobs(media_ref, payload) → (media_ref, feats PAGE_FEATURES) via
+    mapInArrow: one python hop per batch, no pandas materialization."""
+    import pyarrow as pa
+
+    feats_type = pa.struct(
+        [
+            pa.field("page_kind", pa.string()),
+            pa.field("labels", pa.list_(pa.string())),
+            pa.field("title_text", pa.string()),
+            pa.field("body_lines", pa.list_(pa.string())),
+            pa.field("has_qr", pa.bool_()),
+            pa.field("qr_rotated", pa.bool_()),
+            pa.field("boilerplate", pa.list_(pa.string())),
+            pa.field("conf", pa.float64()),
+            pa.field("decode_error", pa.string()),
+        ]
+    )
+    out_schema = pa.schema([pa.field("media_ref", pa.string()), pa.field("feats", feats_type)])
+
+    def gen(batches):
+        for batch in batches:
+            refs = batch.column(batch.schema.get_field_index("media_ref"))
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            rows = [_decode_one(payloads[i].as_py()) for i in range(len(payloads))]
+            yield pa.RecordBatch.from_arrays(
+                [refs, pa.array(rows, type=feats_type)], schema=out_schema
+            )
+
+    from pyspark.sql.types import StructField, StructType
+
+    from engine.schema import PAGE_FEATURES_STRUCT as _PF
+
+    spark_schema = StructType(
+        [StructField("media_ref", blobs.schema["media_ref"].dataType), StructField("feats", _PF)]
+    )
+    return blobs.select("media_ref", "payload").mapInArrow(gen, spark_schema)

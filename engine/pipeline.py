@@ -27,7 +27,7 @@ from pyspark.storagelevel import StorageLevel
 
 from engine import textops
 from engine.assemble import reassemble
-from engine.layout import decode_media
+from engine.layout import decode_blobs
 from engine.metrics import lineage_df, metrics_df, observed
 from engine.routing import route
 
@@ -93,9 +93,7 @@ def _media_branch(ex: DataFrame, blobs: DataFrame, n_media_parts: int) -> DataFr
     # Alternatives measured worse or don't scale: joining meta into the blobs
     # SMJ shuffles every payload byte twice (3-5× slower at 32 threads);
     # broadcasting meta caps at driver memory (10^12 spans won't broadcast).
-    decoded = blobs.withColumn("feats", decode_media(F.col("payload"))).select(
-        "media_ref", "feats"
-    )
+    decoded = decode_blobs(blobs)
     decoded = decoded.repartition(n_media_parts, "media_ref")
     med = meta.join(decoded, "media_ref", "left")
     # blob missing entirely → same error lineage path as a corrupt payload

@@ -574,6 +574,80 @@ def w5_last_nonzero(spark, sf_dir):
 
 
 @_q(
+    "w3_ordered_reassembly",
+    "W3/A2 — ordered re-nest: collect_list + array_sort by event time, exactly "
+    "the spans_out reassembly shape (tasks.py:513-531)",
+    """
+    SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS seq,
+           count(*) AS cnt
+    FROM events GROUP BY user_id
+    """,
+)
+def w3_ordered_reassembly(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return e.groupBy("user_id").agg(
+        F.array_join(F.transform(ordered, lambda s: s["event_type"]), "|").alias("seq"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@_q(
+    "j2_positional_zip",
+    "J2 — positional pairing: per-order line numbers must form the contiguous "
+    "sequence 1..n (zip(batch_jobs, raw_results) invariant, "
+    "janzour_processor.py:391)",
+    """
+    SELECT contiguous, count(*) AS cnt FROM (
+      SELECT l_orderkey,
+             (list_sort(list(l_linenumber)) =
+              list_transform(generate_series(1, count(*)::INT), x -> x::INT)) AS contiguous
+      FROM lineitem GROUP BY l_orderkey
+    ) GROUP BY contiguous
+    """,
+)
+def j2_positional_zip(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    contiguous = F.array_sort(F.collect_list("l_linenumber")) == F.sequence(
+        F.lit(1), F.count("*").cast("int")
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(contiguous.alias("contiguous"))
+        .groupBy("contiguous")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "w2_word_dedup",
+    "W2 — consecutive-duplicate word removal (text_utils.py:79-105): tokens "
+    "removed per source (regex backreference in Spark, indexed list_filter in "
+    "the oracle — same semantics, different mechanism)",
+    """
+    SELECT source,
+           sum(len(string_split(text, ' ')) -
+               len(list_filter(string_split(text, ' '),
+                               (x, i) -> i = 1 OR x <> string_split(text, ' ')[i - 1]))
+           ) AS removed,
+           count(*) AS cnt
+    FROM documents GROUP BY source
+    """,
+)
+def w2_word_dedup(spark, sf_dir):
+    from engine.textops import dedup_consecutive_words
+
+    d = load(spark, sf_dir, "documents")
+    before = F.size(F.split("text", " "))
+    after = F.size(F.split(dedup_consecutive_words(F.col("text")), " "))
+    return d.groupBy("source").agg(
+        F.sum(before - after).alias("removed"), F.count("*").alias("cnt")
+    )
+
+
+@_q(
     "t1_topk_orders",
     "T1 — deterministic top-k (only sort in the system is per-doc ordering; "
     "exposed relationally as global top-k)",

@@ -308,6 +308,45 @@ def sim_ivf_label_topk(spark, sf_dir):
     )
 
 
+_PAIR_COS_SQL = """
+      round(
+        list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                         list_transform(b.embedding, x -> x::DOUBLE))
+        / (sqrt(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                                 list_transform(a.embedding, x -> x::DOUBLE)))
+         * sqrt(list_dot_product(list_transform(b.embedding, x -> x::DOUBLE),
+                                 list_transform(b.embedding, x -> x::DOUBLE)))),
+        4)
+"""
+
+
+@_q(
+    "dedup_embedding_cosine",
+    "training-data dedup — embedding-cosine near-dup: label-bucketed pair "
+    "generation (IVF-style candidate pruning) then cosine ≥ 0.3 pairs",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_PAIR_COS_SQL} AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_PAIR_COS_SQL} >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _cos(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
 # =========================================================================
 # Text analysis
 # =========================================================================
