@@ -32,6 +32,25 @@ def spine_path(out_dir: str) -> str:
     return os.path.join(out_dir, "spine")
 
 
+def expire_runs(base_dir: str, keep_hours: float = 72.0) -> list[str]:
+    """S7 retention: delete run directories older than the TTL (the reference
+    expires results after 72 h — app/config.py:33, app/tasks.py:306-327;
+    on Iceberg this is expire_snapshots)."""
+    import shutil
+    import time
+
+    removed = []
+    cutoff = time.time() - keep_hours * 3600
+    if not os.path.isdir(base_dir):
+        return removed
+    for name in os.listdir(base_dir):
+        path = os.path.join(base_dir, name)
+        if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+            shutil.rmtree(path)
+            removed.append(path)
+    return removed
+
+
 def materialize_run(
     spark: SparkSession,
     spans: DataFrame,

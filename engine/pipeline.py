@@ -128,7 +128,9 @@ def _media_branch(ex: DataFrame, blobs: DataFrame, n_media_parts: int) -> DataFr
     ).otherwise(feats["body_lines"])
     bp = F.coalesce(feats["boilerplate"], F.array().cast("array<string>"))
     lines = F.filter(lines, lambda l: ~F.array_contains(bp, l))
-    out_text = F.array_join(textops.normalize_lines(lines), "\n")
+    # join first, then the fused regex normalize (same semantics as the
+    # per-line array chain, but codegen-friendly — see normalize_span_text)
+    out_text = textops.normalize_span_text(F.array_join(lines, "\n"))
 
     med = med.withColumn(
         "out_text", F.when(F.col("skip_reason").isNull(), out_text)
