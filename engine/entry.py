@@ -78,6 +78,89 @@ def x_text_branch_extraction(spark, sf_dir):
     ).select("doc_id", F.col("s.offset").alias("offset"), F.col("s.text").alias("text"))
 
 
+@_q(
+    "x_header_parse_massara",
+    "F14/F2/F3 end-to-end: massara header parser over receipt text synthesized "
+    "from orders (label extraction, date normalization, footer number grab)",
+    r"""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS invoice_number,
+           strftime(o_orderdate, '%Y-%m-%d') AS date,
+           CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS net_total_amount
+    FROM orders
+    """,
+)
+def x_header_parse_massara(spark, sf_dir):
+    from engine.parse import parse_header_massara
+
+    o = load(spark, sf_dir, "orders")
+    text = F.concat(
+        F.lit("رقم الفاتورة: "),
+        F.col("o_orderkey").cast("string"),
+        F.lit("\nالتاريخ: "),
+        F.date_format("o_orderdate", "dd.MM.yyyy"),
+        F.lit("\nالاجمالي: "),
+        F.floor("o_totalprice").cast("bigint").cast("string"),
+        F.lit(" دينار"),
+    )
+    h = parse_header_massara(text)
+    return o.select(
+        "o_orderkey",
+        h["invoice_number"].alias("invoice_number"),
+        h["date"].alias("date"),
+        h["net_total_amount"].alias("net_total_amount"),
+    )
+
+
+_TBL_HEADER = (
+    "<tr><th>الكود</th><th>الخدمة</th><th>التاريخ</th><th>السعر</th>"
+    "<th>الكمية</th><th>الشركة</th><th>المريض</th><th>القيمة</th></tr>"
+)
+
+
+@_q(
+    "x_table_parse_service",
+    "F12/F8/F9 end-to-end: 8-column HTML service table synthesized per order "
+    "from lineitem, tokenized and parsed back to items — round-trips exactly",
+    f"""
+    SELECT l_orderkey AS doc, 'C' || CAST(l_linenumber AS VARCHAR) AS code,
+           CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR) AS amount
+    FROM lineitem
+    """,
+)
+def x_table_parse_service(spark, sf_dir):
+    from engine.tables import parse_service_rows
+
+    li = load(spark, sf_dir, "lineitem")
+    row_html = F.concat(
+        F.lit("<tr><td>C"),
+        F.col("l_linenumber").cast("string"),
+        F.lit("</td><td>خدمة</td><td>d</td><td>p</td><td>q</td><td>c</td><td>pp</td><td>"),
+        F.floor("l_extendedprice").cast("bigint").cast("string"),
+        F.lit("</td></tr>"),
+    )
+    tables_df = li.groupBy("l_orderkey").agg(
+        F.concat(
+            F.lit("<table>" + _TBL_HEADER),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("l_linenumber"), row_html.alias("h")))),
+                    lambda s: s["h"],
+                ),
+                "",
+            ),
+            F.lit("</table>"),
+        ).alias("html")
+    )
+    rows = tables_df.select(
+        F.col("l_orderkey").alias("doc"),
+        F.explode(parse_service_rows(F.col("html"))).alias("r"),
+    )
+    return rows.filter(F.col("r.item").isNotNull()).select(
+        "doc", F.col("r.item.code").alias("code"), F.col("r.item.amount").alias("amount")
+    )
+
+
 @F.pandas_udf(BinaryType())
 def _page_payload(doc_id: pd.Series) -> pd.Series:
     """Deterministic janzour-style page per doc — codec-encoded, no RNG."""
