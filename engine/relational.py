@@ -424,6 +424,34 @@ def a1_hash_agg_pricing(spark, sf_dir):
 
 
 @_q(
+    "a1_rollup_pricing",
+    "A1 note — metrics rollup via GROUP BY ROLLUP (built-in, zero custom work; "
+    "the metrics-table rollup from SURVEY §2.5)",
+    """
+    SELECT coalesce(l_returnflag, '∅') AS rf, coalesce(l_linestatus, '∅') AS ls,
+           sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,
+           count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a1_rollup_pricing(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("∅")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("∅")).alias("ls"),
+            "sum_base",
+            "cnt",
+        )
+    )
+
+
+@_q(
     "a4_conditional_agg",
     "A4 — conditional tallies sum(when(...)) (pdf_processor.py:1293-1311 analogue)",
     """
