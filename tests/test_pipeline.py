@@ -120,3 +120,33 @@ def test_fully_skipped_doc_has_empty_output(spark):
     [row] = result.spans_out.collect()
     assert row["doc_id"] == "d-skip"
     assert row["spans_out"] == []
+
+
+def test_salted_reassembly_equals_default(spark, corpus, corpus_dfs):
+    """Two-phase (salted) re-nest must produce byte-identical output —
+    including a synthetic mega-doc exercising the skew path."""
+    import pyspark.sql.functions as F
+
+    from engine.assemble import reassemble
+    from engine.pipeline import build_spine
+    from engine.schema import MEDIA_BLOBS_SCHEMA, SPANS_SCHEMA
+
+    spans, blobs = corpus_dfs
+    mega = spark.createDataFrame(
+        [
+            {
+                "doc_id": "mega",
+                "spans": [
+                    {"kind": "text", "text": f"line {i % 7}", "media_ref": None, "offset": i}
+                    for i in range(3000)
+                ],
+            }
+        ],
+        SPANS_SCHEMA,
+    )
+    all_spans = spans.unionByName(mega)
+    spine = build_spine(spark, all_spans, blobs)
+    a = {r["doc_id"]: r["spans_out"] for r in reassemble(spine).collect()}
+    b = {r["doc_id"]: r["spans_out"] for r in reassemble(spine, salt_partials=8).collect()}
+    assert a == b
+    assert len(a["mega"]) == 3000
