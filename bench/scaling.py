@@ -70,7 +70,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2, help="small parallelism level N")
     ap.add_argument("--docs", type=int, default=120000)
-    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
@@ -133,9 +133,12 @@ executor brings its own memory bandwidth, so the hypervisor/bandwidth
 component of the loss does not apply.
 
 Design choices that buy the scaling: no driver-side collects; payload bytes
-never shuffle (decode UDF sits on the blobs scan, only decoded text moves);
-parallelism of the Arrow stage pinned via repartition on the join key; AQE
-coalesces the re-nest shuffle; shuffle partitions = cores at each level.
+never shuffle (decode UDF sits on the blobs scan, only decoded features move,
+scan splits sized by files.maxPartitionBytes keep the Arrow stage parallel);
+shuffled-hash join with the tiny span-metadata side as build (a sort-merge
+join would sort millions of wide feature rows); AQE coalesces the re-nest
+shuffle; shuffle partitions = cores at each level.  Timing is best-of-{args.runs}
+per level: steady-state throughput, not one-time JVM/python-worker warmup.
 """
     )
     print(f"wrote {md_dir / 'BASELINE.md'}", file=sys.stderr)

@@ -86,16 +86,16 @@ def _media_branch(ex: DataFrame, blobs: DataFrame, n_media_parts: int) -> DataFr
         "doc_id", "offset", "kind", "media_ref"
     )
     # Decode AT THE SCAN: payload bytes go scan-partition → Arrow UDF → gone;
-    # only the decoded features (text-sized) enter the join shuffle.  The
-    # repartition on the join key is deliberate: it (a) pins the Arrow stage's
-    # parallelism (byte-based AQE coalescing would starve a CPU-bound UDF) and
-    # (b) IS the join's required distribution, so no extra exchange appears.
-    # Alternatives measured worse or don't scale: joining meta into the blobs
-    # SMJ shuffles every payload byte twice (3-5× slower at 32 threads);
-    # broadcasting meta caps at driver memory (10^12 spans won't broadcast).
+    # only the decoded features (text-sized) enter the join shuffle (splits
+    # sized by spark.sql.files.maxPartitionBytes keep the Arrow stage
+    # parallel).  SHUFFLE_HASH with the tiny metadata rows as build side: a
+    # sort-merge join would sort 10^6s of wide feature rows per partition —
+    # measured 30% slower; broadcast caps at driver memory (10^12 spans);
+    # payload-side SMJ shuffles every payload byte (3-5× slower at 32
+    # threads).  media_ref is unique per blob so the build map stays small
+    # and skew-free; AQE still re-splits a skewed partition if one appears.
     decoded = decode_blobs(blobs)
-    decoded = decoded.repartition(n_media_parts, "media_ref")
-    med = meta.join(decoded, "media_ref", "left")
+    med = meta.hint("SHUFFLE_HASH").join(decoded, "media_ref", "left")
     # blob missing entirely → same error lineage path as a corrupt payload
     med = med.withColumn(
         "feats",

@@ -201,6 +201,34 @@ def f3_date_bucket(spark, sf_dir):
 
 
 @_q(
+    "f5_multiformat_dates",
+    "F5 — multi-format date normalization: two renderings of the same date "
+    "both normalize to dd/MM/yyyy (normalize_jz_date coalesce chain, "
+    "text_utils.py:46-65)",
+    """
+    SELECT strftime(o_orderdate, '%d/%m/%Y') AS norm_a,
+           strftime(o_orderdate, '%d/%m/%Y') AS norm_b,
+           count(*) AS cnt
+    FROM orders GROUP BY norm_a, norm_b
+    """,
+)
+def f5_multiformat_dates(spark, sf_dir):
+    from engine.textops import normalize_jz_date
+
+    o = load(spark, sf_dir, "orders")
+    # NB 4-digit year: DateTimeFormatter parses 'yy' against base 2000, so a
+    # '95' rendered from 1995 would round-trip to 2095 — classic pivot trap.
+    fmt_a = F.date_format("o_orderdate", "M/d/yyyy h:mma")  # '4/24/2025 6:48PM' shape
+    fmt_b = F.date_format("o_orderdate", "d/M/yyyy HH:mm")
+    norm = lambda c: F.substring(normalize_jz_date(c), 1, 10)  # noqa: E731
+    return (
+        o.select(norm(fmt_a).alias("norm_a"), norm(fmt_b).alias("norm_b"))
+        .groupBy("norm_a", "norm_b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
     "f6_rlike_filter",
     "F6 — regex-class membership predicate (text_utils.py:68-70)",
     r"""

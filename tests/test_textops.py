@@ -129,3 +129,19 @@ class TestBoilerplate:
         df = spark.createDataFrame([(text,)], "s: string")
         got = df.select(textops.is_boilerplate(F.col("s")).alias("v")).collect()[0]["v"]
         assert got == want
+
+
+class TestHeaderCoreFields:
+    def test_missing_and_present(self, spark):
+        # text_utils.py:73-76 — none of the 3 required Arabic labels present
+        df = spark.createDataFrame(
+            [("رقم الفاتورة: 5",), ("random text",)], "s: string"
+        )
+        import pyspark.sql.functions as FF
+        from engine.textops import header_missing_core_fields
+
+        got = [
+            r["v"]
+            for r in df.select(header_missing_core_fields(FF.col("s")).alias("v")).collect()
+        ]
+        assert got == [False, True]
