@@ -188,6 +188,64 @@ def item_type() -> str:
     return ITEM_STRUCT.simpleString()
 
 
+# Invoice-mode Arabic header → item-field mapping (F12 invoice mode,
+# table_parser.py:103-110): columns are located BY HEADER NAME, not position.
+INVOICE_HEADER_KEYS: dict[str, str] = {
+    "الكود": "code",
+    "الخدمة": "service_description_ar",
+    "الوصف": "service_description_ar",
+    "التاريخ": "date",
+    "الوقت": "time",
+    "السعر": "unit_price",
+    "سعر الوحدة": "unit_price",
+    "الكمية": "quantity",
+    "الشركة": "company_price",
+    "المريض": "patient_price",
+    "الصافي": "net_price",
+    "القيمة": "amount",
+    "المبلغ": "amount",
+}
+
+
+def parse_invoice_table(html: Column) -> Column:
+    """Invoice-mode table → array<ITEM_STRUCT>: the header row's Arabic cell
+    names decide which field each column feeds (order-independent, unlike the
+    positional KEYS_N janzour mapping).  Rows that are section rows, contain
+    الإجمالي, or span columns (fewer cells than the header — the colspan-skip
+    rule, table_parser.py:119-122) are dropped.
+    """
+    from engine.schema import ITEM_STRUCT
+
+    rows = html_rows(html)
+    header = F.element_at(rows, 1)
+    data = F.slice(rows, 2, 100000)
+
+    def field_from_header(row: Column, field: str) -> Column:
+        """Value of `field` = cell at the first header position whose name
+        maps to it (null when the header lacks such a column)."""
+        out = F.lit(None).cast("string")
+        # later aliases lose to earlier ones: fold right-to-left
+        for name, key in reversed(list(INVOICE_HEADER_KEYS.items())):
+            if key != field:
+                continue
+            pos = F.array_position(header, name)
+            out = F.when(pos > 0, F.element_at(row, pos.cast("int"))).otherwise(out)
+        return out
+
+    def to_item(row: Column) -> Column:
+        return F.struct(
+            *[field_from_header(row, f).alias(f) for f in ITEM_STRUCT.fieldNames()]
+        )
+
+    keep = lambda r: (  # noqa: E731
+        (F.size(r) >= F.size(header))
+        & ~is_section_row(r)
+        & ~_row_has(r, SUBTOTAL_LIT)
+        & (F.coalesce(F.element_at(r, F.array_position(header, "الكود").cast("int")), F.lit("")) != "")
+    )
+    return F.transform(F.filter(data, keep), to_item)
+
+
 def parse_section_subtotal(html: Column) -> Column:
     """Last الإجمالي row's last non-empty numeric-ish cell — the section
     subtotal (janzour tables end with an الإجمالي row)."""

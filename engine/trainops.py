@@ -347,6 +347,56 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+# --- random-hyperplane LSH: deterministic ±1 hyperplanes from md5 ----------
+import hashlib as _hashlib
+
+_LSH_PLANES = 8
+_LSH_DIMS = 64
+_HYPERPLANES: list[list[int]] = [
+    [
+        1 if int(_hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:2], 16) & 1 else -1
+        for d in range(_LSH_DIMS)
+    ]
+    for j in range(_LSH_PLANES)
+]
+
+
+def _lsh_bucket_sql() -> str:
+    terms = []
+    for j, hp in enumerate(_HYPERPLANES):
+        dot = " + ".join(
+            f"({'-' if s < 0 else ''}embedding[{d + 1}]::DOUBLE)" for d, s in enumerate(hp)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@_q(
+    "sim_lsh_hyperplane",
+    "similarity search — random-hyperplane LSH: 8 deterministic ±1 "
+    "hyperplanes → sign bits → bucket id; bucket histogram (the banding "
+    "front-end of an ANN index; same hyperplane constants inlined into both "
+    "engines)",
+    f"""
+    SELECT bucket, count(*) AS cnt FROM (
+      SELECT {_lsh_bucket_sql()} AS bucket FROM embeddings
+    ) GROUP BY bucket
+    """,
+)
+def sim_lsh_hyperplane(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for j, hp in enumerate(_HYPERPLANES):
+        dot = F.lit(0.0)
+        for d, s in enumerate(hp):
+            dot = dot + (e[d] if s > 0 else -e[d])
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return emb.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
 # =========================================================================
 # Text analysis
 # =========================================================================

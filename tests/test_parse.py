@@ -202,3 +202,26 @@ def test_parse_header_invoice_prev_line(spark):
     text = "A-9988\nرقم الفاتورة:\nsomething else entirely"
     got = parse.parse_header_invoice(_df(spark, text)).collect()[0]["header_invoice"]
     assert got["invoice_number"] == "A-9988"
+
+
+INVOICE_TABLE = (
+    "<table>"
+    "<tr><th>الخدمة</th><th>الكود</th><th>القيمة</th><th>الكمية</th></tr>"
+    "<tr><td>تحليل</td><td>LAB1</td><td>50.0</td><td>2</td></tr>"
+    "<tr><td>قسم الأشعة</td><td></td><td></td><td></td></tr>"
+    "<tr><td>أشعة</td><td>RAD2</td><td>75.0</td><td>1</td></tr>"
+    "<tr><td colspan=3>الإجمالي</td><td>125.0</td></tr>"
+    "</table>"
+)
+
+
+def test_parse_invoice_table_header_mapped(spark):
+    # header order differs from the positional KEYS_N layouts — the header
+    # NAME decides the field (F12 invoice mode, table_parser.py:103-110)
+    got = _df(spark, INVOICE_TABLE).select(
+        tables.parse_invoice_table(F.col("text")).alias("items")
+    ).collect()[0]["items"]
+    assert [(i["code"], i["service_description_ar"], i["amount"], i["quantity"]) for i in got] == [
+        ("LAB1", "تحليل", "50.0", "2"),
+        ("RAD2", "أشعة", "75.0", "1"),
+    ]
