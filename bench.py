@@ -35,6 +35,8 @@ from engine.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "a1_hash_agg_pricing",
+    "x_table_parse_service",
+    "dedup_embedding_cosine",
     "j1_join_broadcast_dims",
     "w1_lag_dedup",
     "a6_value_histogram",

@@ -295,6 +295,42 @@ def _pa_schemas():
     return spans_schema, blobs_schema
 
 
+def spark_corpus(spark, n_docs: int, seed: int = 42, partitions: int = 32, **kw: Any):
+    """Distributed generation: spark.range → mapInPandas, same pure function
+    of (seed, i) as the local path, so content is identical regardless of
+    which executor generates which doc — the property that lets a 10^12-doc
+    corpus be generated in place without coordination.
+
+    Returns (spans_df, blobs_df).
+    """
+    import pandas as pd
+
+    from engine.schema import MEDIA_BLOBS_SCHEMA, SPANS_SCHEMA
+
+    base = spark.range(0, n_docs, 1, partitions)
+
+    def gen_spans(batches):
+        for pdf in batches:
+            rows = [gen_doc(seed, int(i), **kw)[0] for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"doc_id": [r["doc_id"] for r in rows], "spans": [r["spans"] for r in rows]}
+            )
+
+    def gen_blobs(batches):
+        for pdf in batches:
+            out = {"media_ref": [], "payload": []}
+            for i in pdf["id"]:
+                for b in gen_doc(seed, int(i), **kw)[1]:
+                    out["media_ref"].append(b["media_ref"])
+                    out["payload"].append(b["payload"])
+            yield pd.DataFrame(out)
+
+    return (
+        base.mapInPandas(gen_spans, SPANS_SCHEMA),
+        base.mapInPandas(gen_blobs, MEDIA_BLOBS_SCHEMA),
+    )
+
+
 def write_corpus(
     out_dir: str,
     n_docs: int,
