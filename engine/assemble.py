@@ -45,10 +45,12 @@ def reassemble(spine: DataFrame, salt_partials: int = 0) -> DataFrame:
     AQE skew-split handles moderate skew without this; the salt is for the
     heavy tail.
     """
+    from engine.skew import salt_col
+
     kept_span = _kept_span()
     if salt_partials > 0:
         partial = spine.groupBy(
-            "doc_id", F.pmod(F.hash("offset"), F.lit(salt_partials)).alias("_salt")
+            "doc_id", salt_col(salt_partials, "offset").alias("_salt")
         ).agg(F.collect_list(kept_span).alias("_part"))
         nested = partial.groupBy("doc_id").agg(
             F.array_sort(F.flatten(F.collect_list("_part"))).alias("_ordered")

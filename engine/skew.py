@@ -1,19 +1,21 @@
 """Skew & partitioning policy (SURVEY.md §4 custom-physical-work item 1).
 
 The corpus has a skewed tail of docs with one oversized media span (payload
-100-1000× median, FIXTURES.md §1).  The join key (``media_ref``) is unique per
-span, so there is no *key* skew — the hazard is *bytes-per-partition* skew: a
-hash partition that happens to land several giant blobs OOMs or straggles.
+100-1000× median, FIXTURES.md §1), and at 10^12 scale pathological documents
+with millions of spans can exist.  Where each hazard is handled:
 
-Policy:
-- spread the media branch across ``n_parts`` partitions by a salt derived from
-  ``(doc_id, offset)`` — deterministic (resume-safe, unlike rand()) yet
-  decorrelated from the input file layout, so giant blobs scatter;
-- AQE (`skewJoin`, `coalescePartitions`) re-splits/merges at runtime — enabled
-  in engine.session;
-- at real-cluster scale, bucketed/Iceberg-partitioned storage on
-  ``bucket(media_ref)`` would make the blobs join shuffle-free on the blob
-  side; documented here because local parquet has no bucketing metadata.
+- **oversized payload bytes**: consumed at the blobs SCAN (pipeline decodes
+  via mapInArrow before any exchange), so per-partition byte skew is bounded
+  by ``spark.sql.files.maxPartitionBytes`` — no salting needed there;
+- **mega-document re-nest skew**: ``assemble.reassemble(salt_partials=N)``
+  uses :func:`salt_col` for a two-phase salted aggregation, bounding rows per
+  reducer key;
+- **runtime residue**: AQE (`skewJoin`, `coalescePartitions`) re-splits /
+  merges — enabled in engine.session;
+- :func:`spread` remains for inputs whose file layout correlates with row
+  cost (deterministic salt — resume-safe, unlike rand());
+- at real-cluster scale, bucketing both Iceberg tables by ``media_ref`` makes
+  the features join shuffle-free (PLANS.md §4).
 """
 
 from __future__ import annotations
