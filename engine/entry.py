@@ -112,6 +112,41 @@ def x_header_parse_massara(spark, sf_dir):
     )
 
 
+@_q(
+    "x_invoice_header_adjacency",
+    "F15/W4 end-to-end: invoice-mode header parser over text synthesized from "
+    "customer — exercises bare-label+lookahead, value-before-label (with the "
+    "overlapping-alias tiebreak), and value-after-label in one document",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
+           'INV-' || CAST(c_custkey AS VARCHAR) AS invoice_number,
+           c_name AS patient_name,
+           'SEG-' || c_mktsegment AS company
+    FROM customer
+    """,
+)
+def x_invoice_header_adjacency(spark, sf_dir):
+    from engine.parse import parse_header_invoice
+
+    c = load(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("رقم الفاتورة\nINV-"),
+        F.col("c_custkey").cast("string"),
+        F.lit("\n"),
+        F.col("c_name"),
+        F.lit(" اسم المريض\nالجهة: SEG-"),
+        F.col("c_mktsegment"),
+    )
+    doc_text = c.select(F.col("c_custkey").cast("string").alias("doc_id"), text.alias("text"))
+    parsed = parse_header_invoice(doc_text)
+    return parsed.select(
+        "doc_id",
+        F.col("header_invoice.invoice_number").alias("invoice_number"),
+        F.col("header_invoice.patient_name").alias("patient_name"),
+        F.col("header_invoice.company").alias("company"),
+    )
+
+
 _TBL_HEADER = (
     "<tr><th>الكود</th><th>الخدمة</th><th>التاريخ</th><th>السعر</th>"
     "<th>الكمية</th><th>الشركة</th><th>المريض</th><th>القيمة</th></tr>"

@@ -128,7 +128,7 @@ def parse_header_invoice(doc_text: DataFrame, text_col: str = "text") -> DataFra
 
     cands = []
     for field_name, aliases in INVOICE_FIELD_ALIASES.items():
-        for alias in aliases:
+        for alias_idx, alias in enumerate(aliases):
             after = _grab(F.col("line"), rf"{alias}\s*:?\s*\**([^\s:*].*)")
             before = _grab(F.col("line"), rf"^\s*\**([^:\n]+?)\s*\**\s*{alias}\s*:?\s*$")
             bare = F.col("line").rlike(rf"^\s*\**{alias}\s*:?\s*\**\s*$")
@@ -152,6 +152,7 @@ def parse_header_invoice(doc_text: DataFrame, text_col: str = "text") -> DataFra
                         "pos",
                         F.lit(field_name).alias("field"),
                         prio.alias("prio"),
+                        F.lit(alias_idx).alias("alias_idx"),
                         val.alias("value"),
                     ).filter(F.col("value").isNotNull() & (F.trim(F.col("value")) != ""))
                 )
@@ -159,10 +160,13 @@ def parse_header_invoice(doc_text: DataFrame, text_col: str = "text") -> DataFra
     for c in cands[1:]:
         all_cands = all_cands.unionByName(c)
 
-    # W4: first occurrence wins within the best priority
+    # W4: first occurrence wins within the best priority; alias_idx breaks the
+    # tie when overlapping aliases (e.g. المريض ⊂ اسم المريض) both match the
+    # same line — the earlier-listed alias is authoritative, deterministically.
     best = all_cands.groupBy("doc_id", "field").agg(
         F.min_by(
-            F.struct(F.col("value")), F.struct(F.col("prio"), F.col("pos"))
+            F.struct(F.col("value")),
+            F.struct(F.col("prio"), F.col("pos"), F.col("alias_idx")),
         ).alias("picked")
     )
     pivoted = (
