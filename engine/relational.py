@@ -7,9 +7,10 @@ schema + order-insensitive value hash (see __spark_entry__.py).  Conventions
 that make the hashes comparable:
 
 - every computed column is aliased IDENTICALLY on both sides;
-- money math is ``round(x, 2)`` on the double then CAST to DECIMAL(18,2)
-  BEFORE summing → exact decimal aggregation on both engines (parallel
-  double summation would differ in low bits);
+- money math is integer cents (``floor(x*100)`` of the identical IEEE
+  product, summed as int64) → bit-deterministic on both engines; per-row
+  decimal ROUNDING ties and parallel double summation both drift otherwise;
+- integer sums are cast back to BIGINT in the SQL (DuckDB widens to HUGEINT);
 - timestamps are emitted as formatted strings (Spark session TZ pinned UTC);
 - similarity scores are rounded to 4 decimals and ordered by the rounded
   value with a deterministic id tiebreak.
@@ -250,9 +251,9 @@ def f6_rlike_filter(spark, sf_dir):
     "F8 — dirty-number cleanup + cast (table_parser.py:130-135,228-234)",
     """
     SELECT l_returnflag,
-           sum(CAST(regexp_replace(
+           CAST(sum(CAST(regexp_replace(
                  CAST(l_partkey AS VARCHAR) || ' ' || CAST(l_suppkey AS VARCHAR) || '/',
-                 '[ ,/]', '', 'g') AS BIGINT)) AS coerced_sum
+                 '[ ,/]', '', 'g') AS BIGINT)) AS BIGINT) AS coerced_sum
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -270,7 +271,7 @@ def f8_price_coercion(spark, sf_dir):
     "F18 — JSON field extraction with cast (tasks.py:191-195)",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS cnt
     FROM events GROUP BY event_type
     """,
@@ -487,7 +488,7 @@ def a1_rollup_pricing(spark, sf_dir):
            sum(CASE WHEN o_orderstatus = 'F'
                     THEN CAST(floor(o_totalprice * 100) AS BIGINT)
                     ELSE 0 END) / 100.0 AS f_total,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
            count(*) AS cnt
     FROM orders GROUP BY o_orderpriority
     """,
@@ -684,10 +685,10 @@ def j2_positional_zip(spark, sf_dir):
     "the oracle — same semantics, different mechanism)",
     """
     SELECT source,
-           sum(len(string_split(text, ' ')) -
+           CAST(sum(len(string_split(text, ' ')) -
                len(list_filter(string_split(text, ' '),
                                (x, i) -> i = 1 OR x <> string_split(text, ' ')[i - 1]))
-           ) AS removed,
+           ) AS BIGINT) AS removed,
            count(*) AS cnt
     FROM documents GROUP BY source
     """,

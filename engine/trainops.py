@@ -447,7 +447,7 @@ def text_langid(spark, sf_dir):
     "text analysis — quality scoring: token count, char/token ratio, "
     "length-window flag",
     """
-    SELECT source, ok, count(*) AS cnt, sum(n_tokens) AS total_tokens FROM (
+    SELECT source, ok, count(*) AS cnt, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM (
       SELECT source,
              len(string_split(text, ' ')) AS n_tokens,
              len(string_split(text, ' ')) BETWEEN 10 AND 500 AS ok
