@@ -20,10 +20,110 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
 from engine.assemble import reassemble
 from engine.metrics import lineage_df, metrics_df
 from engine.pipeline import build_spine
-from engine.schema import SPANS_SCHEMA
+from engine.schema import SPAN_STRUCT, SPANS_SCHEMA
+
+
+FLAT_SPAN_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("media_ref", StringType(), True),
+        StructField("offset", IntegerType(), False),
+        StructField("n_spans", IntegerType(), False),  # total spans of the doc
+    ]
+)
+
+ASSEMBLED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans_out", ArrayType(SPAN_STRUCT), False),
+        StructField("complete", BooleanType(), False),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_expected", IntegerType(), False),
+        StructField("kinds", ArrayType(StringType()), False),
+        StructField("texts", ArrayType(StringType()), False),
+        StructField("refs", ArrayType(StringType()), False),
+        StructField("offsets", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def stateful_assembler(
+    flat_stream: DataFrame, timeout_ms: int = 60_000
+) -> DataFrame:
+    """Custom stateful operator (X1/X2's true streaming form): assemble each
+    document from an UNORDERED stream of individual span rows that may span
+    many micro-batches.
+
+    applyInPandasWithState keeps per-doc partial state (the spans seen so
+    far); when all ``n_spans`` have arrived the doc is emitted offset-sorted
+    and the state dropped.  A processing-time timeout flushes stragglers as
+    ``complete=false`` partials — the reference analogue is the buffered
+    sliding-window collector + skipped-page accounting
+    (/root/reference/app/core/document/pdf_processor.py:1208-1258,
+    app/tasks.py:574-595): completion is detected by count, order restored
+    from offsets, nothing waits forever.
+    """
+    import pandas as pd
+
+    def assemble(key, pdf_iter, state):
+        doc_id = key[0]
+        if state.hasTimedOut:
+            (n, kinds, texts, refs, offsets) = state.get
+            state.remove()
+            spans = sorted(
+                zip(kinds, texts, refs, offsets), key=lambda t: t[3]
+            )
+            yield pd.DataFrame(
+                {"doc_id": [doc_id], "spans_out": [spans], "complete": [False]}
+            )
+            return
+        if state.exists:
+            n, kinds, texts, refs, offsets = state.get
+            kinds, texts, refs, offsets = list(kinds), list(texts), list(refs), list(offsets)
+        else:
+            n, kinds, texts, refs, offsets = None, [], [], [], []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                n = int(r["n_spans"])
+                kinds.append(r["kind"])
+                texts.append(r["text"] if pd.notna(r["text"]) else None)
+                refs.append(r["media_ref"] if pd.notna(r["media_ref"]) else None)
+                offsets.append(int(r["offset"]))
+        if n is not None and len(offsets) >= n:
+            state.remove()
+            spans = sorted(zip(kinds, texts, refs, offsets), key=lambda t: t[3])
+            yield pd.DataFrame(
+                {"doc_id": [doc_id], "spans_out": [spans], "complete": [True]}
+            )
+        else:
+            state.update((n or 0, kinds, texts, refs, offsets))
+            state.setTimeoutDuration(timeout_ms)
+
+    return flat_stream.groupBy("doc_id").applyInPandasWithState(
+        assemble,
+        outputStructType=ASSEMBLED_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
 
 
 def stream_extraction(
