@@ -149,14 +149,20 @@ def stream_extraction(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        """Idempotent per-batch sink: each micro-batch OVERWRITES its own
+        batch=N subdirectory, so a batch replayed after a crash (foreachBatch
+        is at-least-once) lands on the same path instead of appending
+        duplicates — file-sink exactly-once semantics without a transaction
+        log (on a cluster this is an Iceberg overwrite-by-filter)."""
         spine = build_spine(batch_df.sparkSession, batch_df, blobs)
-        reassemble(spine).write.mode("append").parquet(os.path.join(out_dir, "spans_out"))
-        lineage_df(spine, run_id).write.mode("append").parquet(
-            os.path.join(out_dir, "lineage")
-        )
-        metrics_df(spine, run_id).write.mode("append").parquet(
-            os.path.join(out_dir, "metrics")
-        )
+        for name, df in (
+            ("spans_out", reassemble(spine)),
+            ("lineage", lineage_df(spine, run_id)),
+            ("metrics", metrics_df(spine, run_id)),
+        ):
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, name, f"batch={batch_id}")
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
