@@ -442,6 +442,50 @@ def text_langid(spark, sf_dir):
     )
 
 
+_EN_TRIGRAMS = ["the", "ing", "ort", "can"]  # from en-profile char 3-grams
+_ES_TRIGRAMS = ["que", "ión", "ado", "nte"]
+
+
+def _tri_hits_sql(col: str, grams: list[str]) -> str:
+    return " + ".join(
+        f"(len({col}) - len(replace({col}, '{g}', ''))) / 3" for g in grams
+    )
+
+
+@_q(
+    "text_langid_ngram",
+    "text analysis — character-n-gram language ID: occurrence counts of "
+    "language-profile char trigrams, argmax → prediction (the n-gram variant "
+    "of text_langid's stopword heuristic)",
+    f"""
+    SELECT lang,
+           CASE WHEN en > es THEN 'en' WHEN es > en THEN 'es' ELSE 'und' END AS pred,
+           count(*) AS cnt
+    FROM (
+      SELECT lang,
+             {_tri_hits_sql('text', _EN_TRIGRAMS)} AS en,
+             {_tri_hits_sql('text', _ES_TRIGRAMS)} AS es
+      FROM documents
+    ) GROUP BY lang, pred
+    """,
+)
+def text_langid_ngram(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+
+    def tri_hits(col, grams):
+        out = F.lit(0)
+        for g in grams:
+            out = out + (F.length(col) - F.length(F.replace(col, F.lit(g)))) / 3
+        return out
+
+    en = tri_hits(F.col("text"), _EN_TRIGRAMS)
+    es = tri_hits(F.col("text"), _ES_TRIGRAMS)
+    pred = F.when(en > es, "en").when(es > en, "es").otherwise("und")
+    return (
+        d.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(F.count("*").alias("cnt"))
+    )
+
+
 @_q(
     "text_quality",
     "text analysis — quality scoring: token count, char/token ratio, "
