@@ -347,6 +347,46 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+_SIMHASH_SQL_BODY = """
+    WITH aug AS ({aug}),
+    toks AS (
+      SELECT doc_id, ('0x' || substr(md5(u.tok), 1, 4))::INTEGER AS h
+      FROM aug, UNNEST(string_split(text, ' ')) AS u(tok)
+    ),
+    sh AS (SELECT doc_id, {bits} AS simhash FROM toks GROUP BY doc_id)
+"""
+
+
+@_q(
+    "dedup_simhash_hamming",
+    "training-data dedup — SimHash near-dup pairing: pairs within Hamming "
+    "distance ≤ 2 of the 16-bit fingerprint (bit_count(xor) both engines)",
+    _SIMHASH_SQL_BODY.format(aug=_AUG_SQL, bits=_simhash_bits("h"))
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 2
+    """,
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    sh = dedup_simhash(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").cast("bigint").bitwiseXOR(F.col("b.simhash").cast("bigint"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
 # --- random-hyperplane LSH: deterministic ±1 hyperplanes from md5 ----------
 import hashlib as _hashlib
 
