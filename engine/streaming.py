@@ -126,6 +126,35 @@ def stateful_assembler(
     )
 
 
+def windowed_event_metrics(
+    events_stream: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation — the late-data-tolerant
+    metrics stream (the reference's progress events, S6/X8, carry no event
+    time; this is the Spark-native upgrade: counts/sums per (event-time
+    window, event_type), with the watermark bounding state for late rows)."""
+    from pyspark.sql import functions as F
+
+    # watermarks require TIMESTAMP (tz-aware); testdata carries TIMESTAMP_NTZ
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "value_cents",
+        )
+    )
+
+
 def stream_extraction(
     spark: SparkSession,
     spans_source_dir: str,
