@@ -55,11 +55,6 @@ def registry() -> list[Q]:
     return list(_REGISTRY)
 
 
-def _dec(col, scale: int = 2):
-    """round-then-cast: exact decimal aggregation on both engines."""
-    return F.round(col, scale).cast(f"decimal(18,{scale})")
-
-
 def _cents(col):
     """Exact money math across engines: floor(x*100) as int64.
 
@@ -69,9 +64,6 @@ def _cents(col):
     Aggregate the cents, divide by 100.0 at the end.
     """
     return F.floor(col * 100).cast("long")
-
-
-_CENTS = "CAST(floor(({}) * 100) AS BIGINT)"
 
 
 # =========================================================================
