@@ -135,6 +135,29 @@ def main() -> None:
     ext = run_extraction_bench(spark, n_docs)
     timings["extraction_e2e"] = ext["seconds"]
 
+    # canonical-document build (E2 parse layer) over the extracted spans
+    from engine.parse import extract_documents
+    from engine.pipeline import run_extraction as _rx
+
+    import tempfile
+
+    cdir = corpus_dir(n_docs)
+    so_dir = tempfile.mkdtemp(prefix="bench-spansout-")
+    _rx(
+        spark,
+        spark.read.parquet(f"{cdir}/spans"),
+        spark.read.parquet(f"{cdir}/media_blobs"),
+        run_id="bench-docs",
+    ).spans_out.write.mode("overwrite").parquet(so_dir)
+    spans_out = spark.read.parquet(so_dir)  # isolate parse timing from extraction
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        extract_documents(spans_out).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    timings["documents_extract"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
