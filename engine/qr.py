@@ -1,0 +1,162 @@
+"""QR finder-pattern detection & orientation (M7-M9 — SURVEY.md §2.3).
+
+The reference finds QR codes two ways — approx-poly contours
+(/root/reference/app/core/document/barcode.py:10-39) and contour-hierarchy
+nesting depth (pdf_processor.py:745-780) — then infers page rotation from the
+L-shape of the three finder centers (barcode.py:42-57 two-state;
+pdf_processor.py:782-822 four-state).  This module re-implements the
+*classical deterministic* algorithm those models approximate:
+
+- finder pattern = the 1:1:3:1:1 dark/light run-length ratio, scanned along
+  rows and cross-checked along the column through each candidate center
+  (the actual QR spec detection method — no ML, fully vectorizable);
+- center dedup by distance (pdf_processor.py:774-780: > 10 px apart);
+- orientation: the corner vertex of the L (the center whose vectors to the
+  other two are ~perpendicular) names the quadrant → 0/90/180/270.
+
+Bitmaps are numpy uint8 (0=dark, 255=light); batch entry is mapInPandas.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+MODULE = 4  # synthetic pixels per QR module
+_RATIO = (1, 1, 3, 1, 1)
+
+
+def render_finder(img: np.ndarray, top: int, left: int, module: int = MODULE) -> None:
+    """Draw a 7x7-module finder pattern (dark ring, light ring, dark 3x3)."""
+    m = module
+    img[top : top + 7 * m, left : left + 7 * m] = 0
+    img[top + m : top + 6 * m, left + m : left + 6 * m] = 255
+    img[top + 2 * m : top + 5 * m, left + 2 * m : left + 5 * m] = 0
+
+
+def render_qr_page(rotation: int = 0, size: int = 29 * MODULE) -> np.ndarray:
+    """Synthetic page with three finder patterns whose missing corner encodes
+    ``rotation`` ∈ {0, 90, 180, 270} (0 = missing bottom-right, as upright)."""
+    img = np.full((size, size), 255, dtype=np.uint8)
+    margin = 0
+    far = size - 7 * MODULE - margin
+    corners = {
+        "tl": (margin, margin),
+        "tr": (margin, far),
+        "bl": (far, margin),
+        "br": (far, far),
+    }
+    missing = {0: "br", 90: "bl", 180: "tl", 270: "tr"}[rotation]
+    for name, (top, left) in corners.items():
+        if name != missing:
+            render_finder(img, top, left)
+    return img
+
+
+def _ratio_ok(runs: list[int]) -> bool:
+    if len(runs) != 5 or any(r <= 0 for r in runs):
+        return False
+    unit = sum(runs) / 7.0
+    tol = unit * 0.6
+    want = [unit, unit, 3 * unit, unit, unit]
+    return all(abs(r - w) <= tol for r, w in zip(runs, want))
+
+
+def _scan_line(line: np.ndarray) -> list[tuple[int, int]]:
+    """→ [(center_idx, pattern_width)] of 1:1:3:1:1 matches along one line."""
+    dark = line < 128
+    out = []
+    # run-length encode
+    changes = np.flatnonzero(np.diff(dark.astype(np.int8))) + 1
+    bounds = np.concatenate(([0], changes, [len(dark)]))
+    runs = [(bool(dark[bounds[i]]), int(bounds[i + 1] - bounds[i])) for i in range(len(bounds) - 1)]
+    for i in range(len(runs) - 4):
+        window = runs[i : i + 5]
+        if window[0][0] and _ratio_ok([w for _, w in window]):
+            start = sum(w for _, w in runs[:i])
+            width = sum(w for _, w in window)
+            out.append((start + width // 2, width))
+    return out
+
+
+def detect_finder_centers(img: np.ndarray) -> list[tuple[int, int]]:
+    """Scan every row for the ratio, cross-check the column through each
+    candidate, dedup centers closer than 10 px (pdf_processor.py:774-780)."""
+    candidates: list[tuple[int, int]] = []
+    for y in range(img.shape[0]):
+        for cx, _w in _scan_line(img[y]):
+            col_hits = _scan_line(img[:, cx])
+            for cy, _h in col_hits:
+                if abs(cy - y) <= _h:  # the row we scanned crosses this pattern
+                    candidates.append((cx, cy))
+    centers: list[tuple[int, int]] = []
+    for cx, cy in candidates:
+        if all(math.hypot(cx - x, cy - y) > 10 for x, y in centers):
+            centers.append((cx, cy))
+    return centers
+
+
+def orientation_from_centers(centers: list[tuple[int, int]]) -> int | None:
+    """Rotation 0/90/180/270 from the L-shape corner vertex
+    (pdf_processor.py:782-822 four-state variant)."""
+    if len(centers) != 3:
+        return None
+    # corner vertex = the center whose vectors to the others are ~perpendicular
+    best, best_dot = None, None
+    for i in range(3):
+        a = np.array(centers[(i + 1) % 3]) - np.array(centers[i])
+        b = np.array(centers[(i + 2) % 3]) - np.array(centers[i])
+        dot = abs(float(np.dot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        if best_dot is None or dot < best_dot:
+            best, best_dot = i, dot
+    cx = sum(c[0] for c in centers) / 3
+    cy = sum(c[1] for c in centers) / 3
+    vx, vy = centers[best][0] - cx, centers[best][1] - cy
+    # corner vertex quadrant relative to centroid → rotation
+    if vx < 0 and vy < 0:
+        return 0  # corner at top-left → upright
+    if vx >= 0 and vy < 0:
+        return 90  # corner at top-right
+    if vx >= 0 and vy >= 0:
+        return 180
+    return 270  # corner at bottom-left
+
+
+QR_RESULT_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType(), False),
+        StructField("n_finders", IntegerType(), False),
+        StructField("rotation", IntegerType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def detect_qr(assets: DataFrame, width_col: str = "width") -> DataFrame:
+    """mapInPandas over (asset_id, payload=raw grayscale bytes, width):
+    decode bitmap → finder scan → orientation; per-item failure isolation."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "n_finders": [], "rotation": [], "error": []}
+            for aid, payload, width in zip(pdf["asset_id"], pdf["payload"], pdf[width_col]):
+                out["asset_id"].append(aid)
+                try:
+                    raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    img = raw.reshape(-1, int(width))
+                    centers = detect_finder_centers(img)
+                    out["n_finders"].append(len(centers))
+                    out["rotation"].append(orientation_from_centers(centers))
+                    out["error"].append(None)
+                except Exception as exc:  # noqa: BLE001
+                    out["n_finders"].append(0)
+                    out["rotation"].append(None)
+                    out["error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(gen, QR_RESULT_SCHEMA)
