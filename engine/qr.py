@@ -127,6 +127,93 @@ def orientation_from_centers(centers: list[tuple[int, int]]) -> int | None:
     return 270  # corner at bottom-left
 
 
+# ---------------------------------------------------------------------------
+# M6 — barcode detection + whiten (preprocessing.py:11-67): a 1-D barcode is a
+# horizontal band of many short alternating vertical stripes.  Deterministic
+# heuristic: per row, count dark/light transitions; barcode rows have far more
+# transitions than text; group consecutive high-transition rows into a band,
+# take the dark-pixel column extent, expand the box (w×0.1, h×0.4 — the
+# reference's expansion factors) and paint it white.
+# ---------------------------------------------------------------------------
+
+BARCODE_MIN_TRANSITIONS = 20
+BARCODE_MIN_ROWS = 4
+
+
+def render_barcode(img: np.ndarray, top: int, left: int, width: int = 120, height: int = 24) -> None:
+    """Synthetic 1-D barcode: alternating 2-3 px vertical stripes."""
+    x = left
+    dark = True
+    i = 0
+    while x < left + width:
+        w = 2 + (i % 2)
+        if dark:
+            img[top : top + height, x : min(x + w, left + width)] = 0
+        x += w
+        dark = not dark
+        i += 1
+
+
+def detect_barcodes(img: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """→ [(x1, y1, x2, y2)] barcode boxes via the transition-count heuristic."""
+    dark = img < 128
+    transitions = np.abs(np.diff(dark.astype(np.int8), axis=1)).sum(axis=1)
+    hot = transitions >= BARCODE_MIN_TRANSITIONS
+    boxes = []
+    y = 0
+    while y < len(hot):
+        if hot[y]:
+            y0 = y
+            while y < len(hot) and hot[y]:
+                y += 1
+            if y - y0 >= BARCODE_MIN_ROWS:
+                band = dark[y0:y, :]
+                cols = np.flatnonzero(band.any(axis=0))
+                if len(cols):
+                    boxes.append((int(cols[0]), y0, int(cols[-1]) + 1, y))
+        y += 1
+    return boxes
+
+
+def whiten_barcodes(img: np.ndarray) -> tuple[np.ndarray, int]:
+    """Expand each detected box by (w×0.1, h×0.4) and paint white
+    (preprocessing.py:11-67 semantics).  Returns (cleaned copy, n_boxes)."""
+    out = img.copy()
+    boxes = detect_barcodes(img)
+    h_img, w_img = img.shape
+    for x1, y1, x2, y2 in boxes:
+        dx = int((x2 - x1) * 0.1)
+        dy = int((y2 - y1) * 0.4)
+        out[max(0, y1 - dy) : min(h_img, y2 + dy), max(0, x1 - dx) : min(w_img, x2 + dx)] = 255
+    return out, len(boxes)
+
+
+# ---------------------------------------------------------------------------
+# M10 — id-card crop (barcode.py:75-179): rotate the page upright using the
+# QR orientation, then crop the id-card region by expanding the QR bbox
+# upward ×4.0 and rightward ×5.8 (the reference's constants).
+# ---------------------------------------------------------------------------
+
+IDCARD_UP_FACTOR = 4.0
+IDCARD_RIGHT_FACTOR = 5.8
+
+
+def rotate_upright(img: np.ndarray, rotation: int) -> np.ndarray:
+    """Undo a detected clockwise page rotation with exact k×90° array rots."""
+    k = {0: 0, 90: 1, 180: 2, 270: 3}[rotation]
+    return np.rot90(img, k=k)
+
+
+def idcard_crop(img: np.ndarray, qr_box: tuple[int, int, int, int]) -> np.ndarray:
+    """Crop the id-card region from the (upright) page given the QR bbox:
+    the card extends up ×4.0 and right ×5.8 of the QR size."""
+    x1, y1, x2, y2 = qr_box
+    w, h = x2 - x1, y2 - y1
+    top = max(0, int(y2 - h * IDCARD_UP_FACTOR))
+    right = min(img.shape[1], int(x1 + w * IDCARD_RIGHT_FACTOR))
+    return img[top:y2, x1:right]
+
+
 QR_RESULT_SCHEMA = StructType(
     [
         StructField("asset_id", StringType(), False),

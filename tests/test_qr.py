@@ -40,3 +40,49 @@ def test_detect_qr_batch(spark):
         r = got[f"q{rot}"]
         assert (r["n_finders"], r["rotation"]) == (3, rot)
     assert got["bad"]["error"] is not None and got["bad"]["rotation"] is None
+
+
+class TestBarcode:
+    def test_detect_and_whiten(self):
+        from engine.qr import detect_barcodes, render_barcode, whiten_barcodes
+
+        img = np.full((200, 300), 255, dtype=np.uint8)
+        render_barcode(img, top=50, left=40)
+        # a text-like sparse row must not trigger
+        img[120, 50:60] = 0
+        boxes = detect_barcodes(img)
+        assert len(boxes) == 1
+        x1, y1, x2, y2 = boxes[0]
+        assert 35 <= x1 <= 45 and 45 <= y1 <= 55
+        cleaned, n = whiten_barcodes(img)
+        assert n == 1
+        # barcode zone is white now; the text blob survives
+        assert (cleaned[50:74, 40:160] == 255).all()
+        assert (cleaned[120, 50:60] == 0).all()
+
+    def test_blank_no_barcode(self):
+        from engine.qr import detect_barcodes
+
+        assert detect_barcodes(np.full((50, 50), 255, dtype=np.uint8)) == []
+
+
+class TestIdcardCrop:
+    def test_rotate_then_crop(self):
+        from engine.qr import (
+            detect_finder_centers,
+            idcard_crop,
+            orientation_from_centers,
+            render_qr_page,
+            rotate_upright,
+        )
+
+        img = render_qr_page(90)
+        rot = orientation_from_centers(detect_finder_centers(img))
+        upright = rotate_upright(img, rot)
+        # upright page must now read as rotation 0
+        assert orientation_from_centers(detect_finder_centers(upright)) == 0
+
+        # crop geometry: QR box 20x20 at (10, 100) → card spans up x4, right x5.8
+        page = np.full((200, 300), 255, dtype=np.uint8)
+        card = idcard_crop(page, (10, 100, 30, 120))
+        assert card.shape == (80, 116)  # (y2 - (y2-4*20)) x (5.8*20)
