@@ -147,13 +147,26 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# Document-frequency cap for the shingle inverted index: a shingle shared by
+# more than K docs creates a K²-row bucket in the self-join (quadratic + a
+# skewed reducer at scale) and carries ~no near-dup signal — standard
+# practice is to drop it BEFORE the join.  Jaccard is then computed over the
+# discriminative (DF ≤ K) shingle sets on both engines identically.
+_JACCARD_DF_CAP = 100
+
+
 @_q(
     "dedup_ngram_jaccard",
     "training-data dedup — n-gram Jaccard similarity over shingle-sharing "
-    "candidate pairs",
+    "candidate pairs; shingles with document frequency > "
+    f"{_JACCARD_DF_CAP} are dropped before the self-join (bounded buckets, "
+    "no hot-key skew)",
     f"""
     WITH aug AS ({_AUG_SQL}),
-    sh AS ({_SHINGLE_SQL}),
+    sh_all AS ({_SHINGLE_SQL}),
+    rare AS (SELECT shingle FROM sh_all GROUP BY shingle
+             HAVING count(*) <= {_JACCARD_DF_CAP}),
+    sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -169,7 +182,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    sh = _shingles(_augmented(spark, sf_dir))
+    sh_all = _shingles(_augmented(spark, sf_dir))
+    rare = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh_all.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -320,24 +340,75 @@ _PAIR_COS_SQL = """
 """
 
 
+# --- random-hyperplane LSH: deterministic ±1 hyperplanes from md5 ----------
+# Declared here (before dedup_embedding_cosine) because both the ANN bucket
+# histogram AND the embedding near-dup pair generator use the same buckets.
+import hashlib as _hashlib
+
+_LSH_PLANES = 8
+_LSH_DIMS = 64
+_HYPERPLANES: list[list[int]] = [
+    [
+        1 if int(_hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:2], 16) & 1 else -1
+        for d in range(_LSH_DIMS)
+    ]
+    for j in range(_LSH_PLANES)
+]
+
+
+def _lsh_bucket_sql(prefix: str = "") -> str:
+    terms = []
+    for j, hp in enumerate(_HYPERPLANES):
+        dot = " + ".join(
+            f"({'-' if s < 0 else ''}{prefix}embedding[{d + 1}]::DOUBLE)"
+            for d, s in enumerate(hp)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _lsh_bucket_col(emb_col) -> "F.Column":
+    """Spark twin of _lsh_bucket_sql — same hyperplanes, same sign rule."""
+    e = F.transform(emb_col, lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for j, hp in enumerate(_HYPERPLANES):
+        dot = F.lit(0.0)
+        for d, s in enumerate(hp):
+            dot = dot + (e[d] if s > 0 else -e[d])
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
 @_q(
     "dedup_embedding_cosine",
-    "training-data dedup — embedding-cosine near-dup: label-bucketed pair "
-    "generation (IVF-style candidate pruning) then cosine ≥ 0.3 pairs",
+    "training-data dedup — embedding-cosine near-dup: candidates = equal "
+    "(label, hyperplane-LSH bucket) — IVF coarse bucket composed with the "
+    "8-bit sign-LSH bucket so within-bucket pair counts stay bounded at "
+    "scale — then cosine ≥ 0.3 verify",
     f"""
+    WITH bl AS (
+      SELECT vec_id, label, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_PAIR_COS_SQL} AS cos
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM bl a JOIN bl b
+      ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_PAIR_COS_SQL} >= 0.3
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _lsh_bucket_col(F.col("embedding"))
+    )
     a = emb.alias("a")
     b = emb.alias("b")
     cos = _cos(F.col("a.embedding"), F.col("b.embedding"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -357,10 +428,21 @@ _SIMHASH_SQL_BODY = """
 """
 
 
+# Pigeonhole banding for Hamming distance ≤ 2: split the 16-bit fingerprint
+# into d+1 = 3 bands (6/5/5 bits) — any pair within distance 2 differs in at
+# most 2 bands, so it MUST agree on at least one band.  Candidate generation
+# is then an equi-join on (band_idx, band_bits) — linear in bucket sizes, no
+# all-pairs — followed by an exact bit_count verify.  This is the same
+# band→bucket→verify shape as dedup_minhash_lsh, which is the point: every
+# pairing query in the dedup suite is a bounded equi-join at 100× scale.
+_HAM_BANDS = [(0, 6), (6, 5), (11, 5)]  # (shift, width)
+
+
 @_q(
     "dedup_simhash_hamming",
-    "training-data dedup — SimHash near-dup pairing: pairs within Hamming "
-    "distance ≤ 2 of the 16-bit fingerprint (bit_count(xor) both engines)",
+    "training-data dedup — SimHash near-dup pairing: 3-band pigeonhole "
+    "equi-join candidates, then exact Hamming ≤ 2 verify via bit_count(xor) "
+    "(Spark side banded; DuckDB oracle states the same result all-pairs)",
     _SIMHASH_SQL_BODY.format(aug=_AUG_SQL, bits=_simhash_bits("h"))
     + """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -371,44 +453,41 @@ _SIMHASH_SQL_BODY = """
 )
 def dedup_simhash_hamming(spark, sf_dir):
     sh = dedup_simhash(spark, sf_dir)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").cast("bigint").bitwiseXOR(F.col("b.simhash").cast("bigint"))
-    )
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    bands = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftright(F.col("simhash"), shift)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_bits"),
+        )
+        for i, (shift, width) in enumerate(_HAM_BANDS)
+    ]
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_bits")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
         )
+        # a close pair can agree on 2-3 bands → drop the duplicate candidates
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sa").cast("bigint").bitwiseXOR(F.col("sb").cast("bigint")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 2)
     )
-
-
-# --- random-hyperplane LSH: deterministic ±1 hyperplanes from md5 ----------
-import hashlib as _hashlib
-
-_LSH_PLANES = 8
-_LSH_DIMS = 64
-_HYPERPLANES: list[list[int]] = [
-    [
-        1 if int(_hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:2], 16) & 1 else -1
-        for d in range(_LSH_DIMS)
-    ]
-    for j in range(_LSH_PLANES)
-]
-
-
-def _lsh_bucket_sql() -> str:
-    terms = []
-    for j, hp in enumerate(_HYPERPLANES):
-        dot = " + ".join(
-            f"({'-' if s < 0 else ''}embedding[{d + 1}]::DOUBLE)" for d, s in enumerate(hp)
-        )
-        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
-    return " + ".join(terms)
 
 
 @_q(
@@ -425,15 +504,10 @@ def _lsh_bucket_sql() -> str:
 )
 def sim_lsh_hyperplane(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    bucket = F.lit(0)
-    for j, hp in enumerate(_HYPERPLANES):
-        dot = F.lit(0.0)
-        for d, s in enumerate(hp):
-            dot = dot + (e[d] if s > 0 else -e[d])
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return emb.select(bucket.alias("bucket")).groupBy("bucket").agg(
-        F.count("*").alias("cnt")
+    return (
+        emb.select(_lsh_bucket_col(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
     )
 
 
