@@ -36,18 +36,20 @@ def lineage_df(spine: DataFrame, run_id: str) -> DataFrame:
 
 
 def metrics_df(spine: DataFrame, run_id: str) -> DataFrame:
-    """Per-partition counters + confidence histogram (bucket = floor(conf*10))."""
+    """Per-partition ADDITIVE counters, keyed by partition_id only.
+
+    Keyed this way deliberately: a document whose spans carry several distinct
+    conf values would be counted once per (partition, bucket) row if the
+    histogram shared this aggregation, silently overcounting docs_processed in
+    any rollup.  The confidence histogram lives in conf_histogram_df instead.
+    docs_processed is distinct-per-partition (a doc whose spans straddle two
+    spine partitions appears in both rows — per-partition progress semantics,
+    same as the reference's per-batch counters)."""
     base = spine.select(
-        F.spark_partition_id().alias("partition_id"),
-        "doc_id",
-        F.col("status"),
-        F.when(
-            F.col("conf").isNotNull(),
-            F.least(F.floor(F.col("conf") * 10).cast("int"), F.lit(9)),
-        ).alias("conf_bucket"),
+        F.spark_partition_id().alias("partition_id"), "doc_id", F.col("status")
     )
     return (
-        base.groupBy("partition_id", "conf_bucket")
+        base.groupBy("partition_id")
         .agg(
             F.countDistinct("doc_id").alias("docs_processed"),
             F.sum(F.when(F.col("status") == "kept", 1).otherwise(0)).alias("spans_kept"),
@@ -55,7 +57,6 @@ def metrics_df(spine: DataFrame, run_id: str) -> DataFrame:
                 "spans_dropped"
             ),
             F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("errors"),
-            F.count(F.col("conf_bucket")).alias("conf_count"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -64,8 +65,26 @@ def metrics_df(spine: DataFrame, run_id: str) -> DataFrame:
             "spans_kept",
             "spans_dropped",
             "errors",
-            "conf_bucket",
-            "conf_count",
+        )
+    )
+
+
+def conf_histogram_df(spine: DataFrame, run_id: str) -> DataFrame:
+    """A6 — OCR-confidence histogram (bucket = min(floor(conf*10), 9)),
+    keyed by (partition_id, conf_bucket); spans without a confidence
+    (text branch) are excluded."""
+    return (
+        spine.filter(F.col("conf").isNotNull())
+        .select(
+            F.spark_partition_id().alias("partition_id"),
+            F.least(F.floor(F.col("conf") * 10).cast("int"), F.lit(9)).alias(
+                "conf_bucket"
+            ),
+        )
+        .groupBy("partition_id", "conf_bucket")
+        .agg(F.count("*").alias("conf_count"))
+        .select(
+            F.lit(run_id).alias("run_id"), "partition_id", "conf_bucket", "conf_count"
         )
     )
 

@@ -28,7 +28,7 @@ from pyspark.storagelevel import StorageLevel
 from engine import textops
 from engine.assemble import reassemble
 from engine.layout import decode_blobs
-from engine.metrics import lineage_df, metrics_df, observed
+from engine.metrics import conf_histogram_df, lineage_df, metrics_df, observed
 from engine.routing import route
 
 
@@ -37,6 +37,7 @@ class ExtractionResult:
     spans_out: DataFrame
     lineage: DataFrame
     metrics: DataFrame
+    conf_hist: DataFrame
     spine: DataFrame
     run_id: str
     observation: object = field(default=None)
@@ -69,7 +70,7 @@ def _text_branch(ex: DataFrame) -> DataFrame:
     )
 
 
-def _media_branch(ex: DataFrame, blobs: DataFrame, n_media_parts: int) -> DataFrame:
+def _media_branch(ex: DataFrame, blobs: DataFrame) -> DataFrame:
     """Media-kind spans: decode at the blobs scan → join features to span
     metadata → route → strip.
 
@@ -162,17 +163,23 @@ def build_spine(
     spark: SparkSession,
     spans: DataFrame,
     blobs: DataFrame,
-    n_media_parts: int | None = None,
 ) -> DataFrame:
-    """Explode + branch + union: one row per input span with status/out_text."""
-    if n_media_parts is None:
-        n_media_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    """Explode + branch + union: one row per input span with status/out_text.
+
+    Media-branch parallelism is governed by the blobs scan split sizing
+    (spark.sql.files.maxPartitionBytes) — the decode UDF sits ON the FileScan,
+    so there is deliberately no separate repartition knob here (a shuffle
+    before the decode would move payload bytes).
+    """
     ex = spans.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
     )
     # P9 input hygiene: unknown kinds become error lineage rows, never a
-    # silent filter (J5 discipline).
-    bad = ex.filter(~F.col("kind").isin("text", "media")).select(
+    # silent filter (J5 discipline).  kind IS NULL must be matched explicitly:
+    # ~isin() evaluates to NULL for a null kind and filter() would drop the
+    # span from all three branches — silently lost (read-path nullability of
+    # external parquet is advisory, whatever the schema declares).
+    bad = ex.filter(F.col("kind").isNull() | ~F.col("kind").isin("text", "media")).select(
         "doc_id",
         "offset",
         "kind",
@@ -185,7 +192,7 @@ def build_spine(
     )
     return (
         _text_branch(ex)
-        .unionByName(_media_branch(ex, blobs, n_media_parts))
+        .unionByName(_media_branch(ex, blobs))
         .unionByName(bad)
     )
 
@@ -195,7 +202,6 @@ def run_extraction(
     spans: DataFrame,
     blobs: DataFrame,
     run_id: str | None = None,
-    n_media_parts: int | None = None,
     persist: bool = False,
 ) -> ExtractionResult:
     """The single public entry: spans + blobs in, three output frames out.
@@ -209,7 +215,7 @@ def run_extraction(
     interactive runs that read all three outputs ad hoc.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    spine = build_spine(spark, spans, blobs, n_media_parts)
+    spine = build_spine(spark, spans, blobs)
     spine, obs = observed(spine)
     if persist:
         spine = spine.persist(StorageLevel.MEMORY_AND_DISK)
@@ -217,6 +223,7 @@ def run_extraction(
         spans_out=reassemble(spine),
         lineage=lineage_df(spine, run_id),
         metrics=metrics_df(spine, run_id),
+        conf_hist=conf_histogram_df(spine, run_id),
         spine=spine,
         run_id=run_id,
         observation=obs,

@@ -100,6 +100,7 @@ LINEAGE_SCHEMA = StructType(
     ]
 )
 
+# Additive per-partition counters (docs_processed is distinct-per-partition).
 METRICS_SCHEMA = StructType(
     [
         StructField("run_id", StringType(), False),
@@ -108,8 +109,18 @@ METRICS_SCHEMA = StructType(
         StructField("spans_kept", LongType(), False),
         StructField("spans_dropped", LongType(), False),
         StructField("errors", LongType(), False),
-        StructField("conf_bucket", IntegerType(), True),
-        StructField("conf_count", LongType(), True),
+    ]
+)
+
+# A6 confidence histogram — separate table so the counters above stay
+# additive (a doc with spans in several conf buckets must not be re-counted
+# per bucket row).
+CONF_HIST_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("conf_bucket", IntegerType(), False),
+        StructField("conf_count", LongType(), False),
     ]
 )
 

@@ -30,7 +30,7 @@ from pyspark.sql.types import (
 )
 
 from engine.assemble import reassemble
-from engine.metrics import lineage_df, metrics_df
+from engine.metrics import conf_histogram_df, lineage_df, metrics_df
 from engine.pipeline import build_spine
 from engine.schema import SPAN_STRUCT, SPANS_SCHEMA
 
@@ -188,6 +188,7 @@ def stream_extraction(
             ("spans_out", reassemble(spine)),
             ("lineage", lineage_df(spine, run_id)),
             ("metrics", metrics_df(spine, run_id)),
+            ("conf_hist", conf_histogram_df(spine, run_id)),
         ):
             df.write.mode("overwrite").parquet(
                 os.path.join(out_dir, name, f"batch={batch_id}")

@@ -104,8 +104,11 @@ def parse_janzour_footer(html: Column) -> Column:
     Returns struct(net_total_amount, paid, amount_due) — nulls when absent."""
     rows = html_rows(html)
     net_rows = F.filter(rows, lambda r: F.exists(r, lambda c: c.contains(NET_LIT)))
-    row = F.element_at(net_rows, 1)
-    pick = lambda i: F.element_at(row, i)  # noqa: E731
+    row = F.try_element_at(net_rows, F.lit(1))
+    # try_element_at: a short الصافي row (< 4 cells) yields nulls instead of
+    # aborting the job under ANSI mode (X3/J5 failure isolation — one
+    # malformed table must never fail the stage).
+    pick = lambda i: F.try_element_at(row, F.lit(i))  # noqa: E731
     empty = F.lit(None).cast("string")
     return F.when(
         F.size(net_rows) > 0,
@@ -173,7 +176,9 @@ def parse_service_rows(html: Column) -> Column:
                 ),
             )
             .when(_row_has(r, SUBTOTAL_LIT), F.lit(None))
-            .when(F.element_at(r, 1) == "", F.lit(None))
+            # empty first cell OR a <tr> with no cells at all (try_element_at
+            # → null → '') — both drop, never abort (ANSI-safe)
+            .when(F.coalesce(F.try_element_at(r, F.lit(1)), F.lit("")) == "", F.lit(None))
             .otherwise(
                 F.struct(F.lit(None).cast("string").alias("section_marker"), item.alias("item"))
             )
@@ -229,7 +234,9 @@ def parse_invoice_table(html: Column) -> Column:
             if key != field:
                 continue
             pos = F.array_position(header, name)
-            out = F.when(pos > 0, F.element_at(row, pos.cast("int"))).otherwise(out)
+            # pos == 0 (label absent) must not reach element_at — ANSI raises
+            # INVALID_INDEX_OF_ZERO; try_element_at covers short rows.
+            out = F.when(pos > 0, F.try_element_at(row, pos.cast("int"))).otherwise(out)
         return out
 
     def to_item(row: Column) -> Column:
@@ -237,11 +244,18 @@ def parse_invoice_table(html: Column) -> Column:
             *[field_from_header(row, f).alias(f) for f in ITEM_STRUCT.fieldNames()]
         )
 
+    code_pos = F.array_position(header, "الكود")
     keep = lambda r: (  # noqa: E731
         (F.size(r) >= F.size(header))
         & ~is_section_row(r)
         & ~_row_has(r, SUBTOTAL_LIT)
-        & (F.coalesce(F.element_at(r, F.array_position(header, "الكود").cast("int")), F.lit("")) != "")
+        # header without a الكود column → keep nothing (the reference's
+        # invoice tables always carry it; rows lacking a code are dropped,
+        # table_parser.py:247) — and never feed index 0 to element_at.
+        & F.when(
+            code_pos > 0,
+            F.coalesce(F.try_element_at(r, code_pos.cast("int")), F.lit("")) != "",
+        ).otherwise(F.lit(False))
     )
     return F.transform(F.filter(data, keep), to_item)
 
@@ -251,8 +265,10 @@ def parse_section_subtotal(html: Column) -> Column:
     subtotal (janzour tables end with an الإجمالي row)."""
     rows = html_rows(html)
     sub_rows = F.filter(rows, lambda r: _row_has(r, SUBTOTAL_LIT))
-    last = F.element_at(sub_rows, -1)
+    last = F.try_element_at(sub_rows, F.lit(-1))
     vals = F.filter(last, lambda c: (c != "") & ~c.contains(SUBTOTAL_LIT))
-    return F.when(F.size(sub_rows) > 0, F.element_at(vals, -1)).otherwise(
+    # try_element_at: an الإجمالي row whose only non-empty cell IS the label
+    # leaves vals empty — null subtotal, not an ANSI abort.
+    return F.when(F.size(sub_rows) > 0, F.try_element_at(vals, F.lit(-1))).otherwise(
         F.lit(None).cast("string")
     )

@@ -48,3 +48,57 @@ def test_materialize_and_resume(spark, corpus, tmp_path):
         for r in single.spans_out.collect()
     }
     assert a == b
+
+
+def test_resume_ignores_uncommitted_spine(spark, corpus, tmp_path):
+    """A spine run-dir without _SUCCESS (crash during job commit) must be
+    invisible: its docs are NOT treated as done, and its rows never feed the
+    derived outputs — no silently truncated documents."""
+    import os
+
+    from engine.io import committed_spine_dirs, spine_path
+
+    out = str(tmp_path / "run-crash")
+    spans1, blobs = _corpus_half(spark, corpus, 0, 30)
+    materialize_run(spark, spans1, blobs, out, run_id="r1")
+
+    # second run over docs 30-59 "crashes during commit": drop its marker
+    spans2, _ = _corpus_half(spark, corpus, 30, 60)
+    materialize_run(spark, spans2, blobs, out, run_id="r2-crashed")
+    crashed = os.path.join(spine_path(out), "run=r2-crashed")
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    assert crashed not in committed_spine_dirs(out)
+
+    # restart with the FULL input: docs 30-59 are re-processed from scratch
+    spans_all, _ = _corpus_half(spark, corpus, 0, 60)
+    r3 = materialize_run(spark, spans_all, blobs, out, run_id="r3")
+    assert r3["spans_out"].count() == 60
+    total_spans = sum(len(r["spans"]) for r in corpus[0])
+    # every input span exactly once — neither lost (crashed dir trusted) nor
+    # duplicated (crashed dir read into the full view)
+    assert r3["lineage"].count() == total_spans
+    assert r3["lineage"].select("doc_id", "offset").distinct().count() == total_spans
+
+
+def test_expire_runs_removes_only_old_dirs(tmp_path):
+    """S7 retention (app/tasks.py:306-327 / config.py:33 72h TTL analogue)."""
+    import os
+    import time
+
+    from engine.io import expire_runs
+
+    base = tmp_path / "runs"
+    old = base / "run-old"
+    new = base / "run-new"
+    old.mkdir(parents=True)
+    new.mkdir(parents=True)
+    (old / "x.parquet").write_bytes(b"")
+    stale = time.time() - 80 * 3600
+    os.utime(old, (stale, stale))
+
+    removed = expire_runs(str(base), keep_hours=72.0)
+    assert removed == [str(old)]
+    assert not old.exists() and new.exists()
+    # idempotent + missing base dir is a no-op
+    assert expire_runs(str(base), keep_hours=72.0) == []
+    assert expire_runs(str(tmp_path / "nope")) == []

@@ -225,3 +225,70 @@ def test_parse_invoice_table_header_mapped(spark):
         ("LAB1", "تحليل", "50.0", "2"),
         ("RAD2", "أشعة", "75.0", "1"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Malformed-table hardening (ANSI mode is ON in Spark 4.x): one bad table must
+# yield nulls/drops — never abort the job (X3/J5 failure isolation).
+# ---------------------------------------------------------------------------
+
+MALFORMED_TABLES = {
+    "footer_short_row": (
+        # الصافي row with fewer than 4 cells
+        "<table><tr><th>البيان</th></tr><tr><td>الصافي</td><td>10.0</td></tr></table>"
+    ),
+    "empty_tr": (
+        "<table><tr><th>الكود</th><th>الخدمة</th><th>التاريخ</th><th>السعر</th>"
+        "<th>الكمية</th><th>الشركة</th><th>المريض</th><th>القيمة</th></tr>"
+        "<tr></tr>"
+        "<tr><td>C1</td><td>x</td><td>d</td><td>1</td><td>1</td><td>1</td><td>1</td><td>9</td></tr>"
+        "</table>"
+    ),
+    "no_code_header": (
+        # invoice-mode header lacking the الكود column entirely
+        "<table><tr><th>الخدمة</th><th>القيمة</th></tr>"
+        "<tr><td>تحليل</td><td>50.0</td></tr></table>"
+    ),
+    "subtotal_label_only": (
+        # الإجمالي row whose ONLY non-empty cell is the label itself
+        "<table><tr><th>الكود</th><th>القيمة</th></tr>"
+        "<tr><td></td><td>الإجمالي</td></tr></table>"
+    ),
+}
+
+
+def test_malformed_footer_short_row_yields_nulls(spark):
+    got = _df(spark, MALFORMED_TABLES["footer_short_row"]).select(
+        tables.parse_janzour_footer(F.col("text")).alias("f")
+    ).collect()[0]["f"]
+    assert got["net_total_amount"] == "10.0"  # cell 2 exists
+    assert got["paid"] is None and got["amount_due"] is None  # cells 3-4 don't
+
+
+def test_malformed_empty_tr_is_dropped(spark):
+    rows = _df(spark, MALFORMED_TABLES["empty_tr"]).select(
+        tables.parse_service_rows(F.col("text")).alias("r")
+    ).collect()[0]["r"]
+    items = [r["item"] for r in rows if r["item"] is not None]
+    assert [i["code"] for i in items] == ["C1"]
+
+
+def test_malformed_invoice_header_without_code_column(spark):
+    got = _df(spark, MALFORMED_TABLES["no_code_header"]).select(
+        tables.parse_invoice_table(F.col("text")).alias("items")
+    ).collect()[0]["items"]
+    assert got == []  # no الكود column → keep nothing, don't crash
+
+
+def test_malformed_subtotal_label_only_is_null(spark):
+    got = _df(spark, MALFORMED_TABLES["subtotal_label_only"]).select(
+        tables.parse_section_subtotal(F.col("text")).alias("s")
+    ).collect()[0]["s"]
+    assert got is None
+
+
+def test_malformed_tables_survive_extract_sections(spark):
+    # every malformed shape at once, inside the full section assembler
+    text = "\n".join(MALFORMED_TABLES.values())
+    out = parse.extract_sections(_df(spark, text)).collect()[0]
+    assert out["footer"]["net_total_amount"] == "10.0"

@@ -150,3 +150,76 @@ def test_salted_reassembly_equals_default(spark, corpus, corpus_dfs):
     b = {r["doc_id"]: r["spans_out"] for r in reassemble(spine, salt_partials=8).collect()}
     assert a == b
     assert len(a["mega"]) == 3000
+
+
+def test_null_kind_becomes_error_lineage(spark):
+    """A null span kind must surface as bad_kind error lineage — ~isin() alone
+    would evaluate NULL and silently drop it from every branch."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from engine.schema import MEDIA_BLOBS_SCHEMA
+
+    nullable_span = StructType(
+        [
+            StructField("kind", StringType(), True),
+            StructField("text", StringType(), True),
+            StructField("media_ref", StringType(), True),
+            StructField("offset", IntegerType(), False),
+        ]
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("spans", ArrayType(nullable_span), False),
+        ]
+    )
+    spans = spark.createDataFrame(
+        [
+            {
+                "doc_id": "d-null",
+                "spans": [
+                    {"kind": "text", "text": "good line", "media_ref": None, "offset": 0},
+                    {"kind": None, "text": "lost?", "media_ref": None, "offset": 1},
+                    {"kind": "weird", "text": "also bad", "media_ref": None, "offset": 2},
+                ],
+            }
+        ],
+        schema,
+    )
+    blobs = spark.createDataFrame([], MEDIA_BLOBS_SCHEMA)
+    from engine.pipeline import run_extraction
+
+    res = run_extraction(spark, spans, blobs, run_id="t-nullkind", persist=False)
+    lin = {r["offset"]: (r["status"], r["reason"]) for r in res.lineage.collect()}
+    assert len(lin) == 3  # nothing silently dropped
+    assert lin[1] == ("error", "bad_kind")
+    assert lin[2] == ("error", "bad_kind")
+    assert lin[0][0] == "kept"
+
+
+def test_metrics_counters_additive_and_hist_separate(spark, corpus, corpus_dfs):
+    """docs_processed must be additive over the metrics table rows (no
+    per-conf-bucket duplication), and the histogram lives in conf_hist."""
+    import pyspark.sql.functions as F
+
+    spans, blobs = corpus_dfs
+    spans_rows, _ = corpus
+    res = run_extraction(spark, spans, blobs, run_id="t-metrics2")
+    m = res.metrics.collect()
+    # one row per partition — partition_id is a unique key now
+    assert len({r["partition_id"] for r in m}) == len(m)
+    total = sum(len(r["spans"]) for r in spans_rows)
+    assert sum(r["spans_kept"] + r["spans_dropped"] for r in m) == total
+
+    hist = res.conf_hist.collect()
+    assert all(r["conf_bucket"] is not None for r in hist)
+    spine_conf = res.spine.filter(F.col("conf").isNotNull()).count()
+    assert sum(r["conf_count"] for r in hist) == spine_conf
+    res.unpersist()

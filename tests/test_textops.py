@@ -145,3 +145,19 @@ class TestHeaderCoreFields:
             for r in df.select(header_missing_core_fields(FF.col("s")).alias("v")).collect()
         ]
         assert got == [False, True]
+
+
+def test_header_missing_core_fields(spark):
+    # F7 (text_utils.py:73-76): missing iff NONE of the 3 core labels appear
+    rows = [
+        ("رقم الفاتورة: 12", False),
+        ("اسم المريض فقط", False),
+        ("رقم الملف F-1", False),
+        ("نص بلا حقول أساسية", True),
+        ("", True),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "t: string")
+    from engine.textops import header_missing_core_fields
+
+    got = [r["m"] for r in df.select(header_missing_core_fields(F.col("t")).alias("m")).collect()]
+    assert got == [want for _, want in rows]
