@@ -113,7 +113,15 @@ def _value_like(col: Column) -> Column:
 
 
 def parse_header_invoice(doc_text: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, text) → (doc_id, header_invoice struct) via exploded lines."""
+    """(doc_id, text) → (doc_id, header_invoice struct) via exploded lines.
+
+    Single-pass candidate generation: the window output is projected ONCE
+    into an array of (field, prio, alias_idx, value) structs — all fields ×
+    aliases × priorities in one select — then exploded once.  The previous
+    shape (one select + union branch per combination, ~60 branches) re-derived
+    the window projection per branch and bloated the plan ~60×; this is the
+    same candidate set with one window + one explode.
+    """
     lines = doc_text.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -126,7 +134,7 @@ def parse_header_invoice(doc_text: DataFrame, text_col: str = "text") -> DataFra
         .withColumn("next3", F.lead("line", 3).over(w))
     )
 
-    cands = []
+    cand_structs = []
     for field_name, aliases in INVOICE_FIELD_ALIASES.items():
         for alias_idx, alias in enumerate(aliases):
             after = _grab(F.col("line"), rf"{alias}\s*:?\s*\**([^\s:*].*)")
@@ -139,26 +147,31 @@ def parse_header_invoice(doc_text: DataFrame, text_col: str = "text") -> DataFra
                 ]
             )
             sel = [
-                (F.lit(1), after),
-                (F.lit(2), before),
-                (F.lit(4), F.when(bare, lookahead)),
+                (1, after),
+                (2, before),
+                (4, F.when(bare, lookahead)),
             ]
             if field_name in _PREV_LINE_FIELDS:
-                sel.append((F.lit(3), F.when(bare & _value_like(F.col("prev")), F.col("prev"))))
+                sel.append((3, F.when(bare & _value_like(F.col("prev")), F.col("prev"))))
             for prio, val in sel:
-                cands.append(
-                    lines.select(
-                        "doc_id",
-                        "pos",
+                cand_structs.append(
+                    F.struct(
                         F.lit(field_name).alias("field"),
-                        prio.alias("prio"),
+                        F.lit(prio).alias("prio"),
                         F.lit(alias_idx).alias("alias_idx"),
                         val.alias("value"),
-                    ).filter(F.col("value").isNotNull() & (F.trim(F.col("value")) != ""))
+                    )
                 )
-    all_cands = cands[0]
-    for c in cands[1:]:
-        all_cands = all_cands.unionByName(c)
+    all_cands = lines.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.filter(
+                F.array(*cand_structs),
+                lambda c: c["value"].isNotNull() & (F.trim(c["value"]) != ""),
+            )
+        ).alias("c"),
+    ).select("doc_id", "pos", "c.field", "c.prio", "c.alias_idx", "c.value")
 
     # W4: first occurrence wins within the best priority; alias_idx breaks the
     # tie when overlapping aliases (e.g. المريض ⊂ اسم المريض) both match the

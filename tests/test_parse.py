@@ -292,3 +292,12 @@ def test_malformed_tables_survive_extract_sections(spark):
     text = "\n".join(MALFORMED_TABLES.values())
     out = parse.extract_sections(_df(spark, text)).collect()[0]
     assert out["footer"]["net_total_amount"] == "10.0"
+
+
+def test_invoice_header_plan_is_single_pass(spark):
+    """The candidate generator must stay one window + one candidate explode —
+    not a per-(field,alias,priority) union re-deriving the window output."""
+    df = _df(spark, INVOICE_HEADER)
+    plan = parse.parse_header_invoice(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") <= 2  # one logical window (+ possible reuse line)
+    assert "Union" not in plan
