@@ -279,6 +279,99 @@ def corpus_rows(
     return all_spans, all_blobs
 
 
+# ---------------------------------------------------------------------------
+# Bitmap-mode corpus (SPB1): payloads are REAL rasters — labels / QR flags /
+# boilerplate come from the P1 detector + M6-M10 operators at decode time,
+# not from the payload.  The spec dict used to RENDER each page is returned
+# alongside so the test oracle can predict expected output from intent
+# without touching any detector code.
+# ---------------------------------------------------------------------------
+
+MASSARA_MEDICINE_PTITLE = "فقرة الخدمات العامة"  # must NOT contain skip literals
+
+
+def _bitmap_spec(rng: random.Random) -> dict[str, Any]:
+    from engine.bitmap import _KIND_BANDS  # kinds the renderer understands
+
+    kind = rng.choice(PAGE_KINDS_WEIGHTED)
+    assert kind in _KIND_BANDS
+    spec: dict[str, Any] = {"page_kind": kind, "conf": round(rng.uniform(0.3, 1.0), 3)}
+    if kind == "janzour":
+        spec["title_text"] = SERVICES_TITLE
+    elif kind == "janzour_receipt":
+        spec["title_text"] = f"إيصال رقم {rng.randint(1000, 99999)}"
+    elif kind == "massara_medicine":
+        spec["title_text"] = MASSARA_MEDICINE_PTITLE
+    elif kind == "skip_medicine_title":
+        spec["title_text"] = MEDICINE_TITLE
+    elif kind == "skip_discharge":
+        spec["title_text"] = rng.choice([DISCHARGE_TITLE, "Discharge Paper"])
+
+    if kind == "idcard":
+        spec["body_lines"] = [_fmt(l, rng) for l in IDCARD_LINES]
+        spec["rotation"] = rng.choice([0, 90, 180, 270])
+        if rng.random() < 0.5:
+            spec["noise_text"] = "PAGE FOOTER — printed by HIS v4.2"
+    elif kind != "blank":
+        body = [_fmt(l, rng) for l in rng.sample(CONTENT_LINES, k=rng.randint(2, 6))]
+        if rng.random() < 0.2 and body:
+            j = rng.randrange(len(body))
+            body.insert(j, body[j])  # consecutive duplicate line → W1 coverage
+        spec["body_lines"] = body[:8]  # ≤ 8: one text per renderer slot
+        if rng.random() < 0.5:
+            spec["barcode"] = True
+            spec["boiler_lines"] = [rng.choice(REGION_NOISE_LINES)]
+    return spec
+
+
+def gen_bitmap_doc(
+    seed: int,
+    i: int,
+    min_spans: int = 4,
+    max_spans: int = 16,
+    corrupt_rate: float = 0.02,
+) -> tuple[dict[str, Any], list[dict[str, Any]], dict[str, dict[str, Any] | None]]:
+    """→ (spans_row, blob_rows, {media_ref: spec-or-None-if-corrupt})."""
+    from engine.bitmap import encode_bitmap_page
+
+    rng = random.Random(f"bmp:{seed}:{i}")
+    n = rng.randint(min_spans, max_spans)
+    spans: list[dict[str, Any]] = []
+    blobs: list[dict[str, Any]] = []
+    specs: dict[str, dict[str, Any] | None] = {}
+    for off in range(n):
+        if rng.random() < 0.6:
+            spans.append(
+                {"kind": "text", "text": _text_span_text(rng), "media_ref": None, "offset": off}
+            )
+        else:
+            ref = media_ref(i, off)
+            spans.append({"kind": "media", "text": None, "media_ref": ref, "offset": off})
+            if rng.random() < corrupt_rate:
+                blobs.append(
+                    {"media_ref": ref, "payload": b"SPB1" + bytes(rng.getrandbits(8) for _ in range(16))}
+                )
+                specs[ref] = None
+            else:
+                spec = _bitmap_spec(rng)
+                blobs.append({"media_ref": ref, "payload": encode_bitmap_page(spec)})
+                specs[ref] = spec
+    rng.shuffle(spans)
+    return {"doc_id": doc_name(i), "spans": spans}, blobs, specs
+
+
+def bitmap_corpus_rows(
+    n_docs: int, seed: int = 42, **kw: Any
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]], dict[str, dict[str, Any] | None]]:
+    all_spans, all_blobs, all_specs = [], [], {}
+    for i in range(n_docs):
+        s, b, sp = gen_bitmap_doc(seed, i, **kw)
+        all_spans.append(s)
+        all_blobs.extend(b)
+        all_specs.update(sp)
+    return all_spans, all_blobs, all_specs
+
+
 def _pa_schemas():
     import pyarrow as pa
 

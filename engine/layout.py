@@ -9,6 +9,15 @@ payloads into the PAGE_FEATURES struct.  Everything downstream — routing,
 region strip, dedup, reassembly — is pure Catalyst over these columns
 (SURVEY.md §2.11: one fused UDF per media batch; never per-row Python).
 
+Two payload modes, dispatched on the 4-byte magic:
+- ``SPG1`` (engine.codec): self-describing JSON payload — labels, flags and
+  text come straight from the payload (fixture-exact goldens);
+- ``SPB1`` (engine.bitmap): a REAL raster — region labels, QR flags,
+  rotation, barcode boilerplate and the id-card crop are all DERIVED from
+  pixels by the P1 projection-profile detector and the M6-M10 operators.
+Both produce the same PAGE_FEATURES struct; routing/strip/reassembly
+downstream are identical Catalyst plans either way.
+
 Failure isolation (X3, pdf_processor.py:1160-1183): a malformed payload yields
 ``decode_error`` instead of failing the task; the router turns that into an
 ``error`` lineage row.
@@ -19,53 +28,21 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
-from engine import codec
+from engine import bitmap, codec
 from engine.schema import PAGE_FEATURES_STRUCT
 
 
 def _decode_batch(payloads: pd.Series) -> pd.DataFrame:
     """Series[bytes] → DataFrame matching PAGE_FEATURES_STRUCT.
 
-    Plain-Python loop over the Arrow batch: the payload is variable-length JSON,
-    so there is no numpy vectorization to be had — the win over row-at-a-time
-    UDFs is the Arrow batch transfer and one Python call per ~2048 rows.
+    Plain-Python loop over the Arrow batch: the payload is variable-length
+    (JSON or raster), so there is no numpy vectorization across ITEMS to be
+    had — the win over row-at-a-time UDFs is the Arrow batch transfer and
+    one Python call per ~2048 rows (the bitmap detectors are numpy-vectorized
+    WITHIN each page).
     """
-    out = {
-        "page_kind": [],
-        "labels": [],
-        "title_text": [],
-        "body_lines": [],
-        "has_qr": [],
-        "qr_rotated": [],
-        "boilerplate": [],
-        "conf": [],
-        "decode_error": [],
-    }
-    for blob in payloads:
-        try:
-            page = codec.decode_page(blob)
-            out["page_kind"].append(page.get("page_kind"))
-            regions = page.get("regions") or []
-            out["labels"].append([r["label"] for r in regions])
-            out["title_text"].append(page.get("title_text"))
-            body = page.get("body_text") or ""
-            out["body_lines"].append(body.split("\n") if body else [])
-            out["has_qr"].append(bool(page.get("has_qr")))
-            out["qr_rotated"].append(bool(page.get("qr_rotated")))
-            out["boilerplate"].append(page.get("boilerplate") or [])
-            out["conf"].append(float(page.get("conf", 1.0)))
-            out["decode_error"].append(None)
-        except Exception as exc:  # noqa: BLE001 — failure isolation per item (X3)
-            out["page_kind"].append(None)
-            out["labels"].append(None)
-            out["title_text"].append(None)
-            out["body_lines"].append(None)
-            out["has_qr"].append(None)
-            out["qr_rotated"].append(None)
-            out["boilerplate"].append(None)
-            out["conf"].append(None)
-            out["decode_error"].append(f"{type(exc).__name__}: {exc}")
-    return pd.DataFrame(out)
+    rows = [_decode_one(blob) for blob in payloads]
+    return pd.DataFrame(rows, columns=[name for name, _ in _FEATS_FIELDS])
 
 
 decode_media = F.pandas_udf(_decode_batch, returnType=PAGE_FEATURES_STRUCT)
@@ -85,6 +62,7 @@ _FEATS_FIELDS = [
     ("body_lines", "list<string>"),
     ("has_qr", "bool"),
     ("qr_rotated", "bool"),
+    ("qr_rotation", "int32"),
     ("boilerplate", "list<string>"),
     ("conf", "double"),
     ("decode_error", "string"),
@@ -93,15 +71,24 @@ _FEATS_FIELDS = [
 
 def _decode_one(raw: bytes | None) -> dict:
     try:
+        if raw is not None and bytes(raw[:4]) == bitmap.MAGIC:
+            # SPB1: the real detectors run here — P1 layout, M6 barcode
+            # whiten, M7-M9 QR orient, M10 idcard crop (engine.bitmap).
+            return bitmap.extract_features(bytes(raw))
         page = codec.decode_page(raw)
         body = page.get("body_text") or ""
+        has_qr = bool(page.get("has_qr"))
+        rotated = bool(page.get("qr_rotated"))
         return {
             "page_kind": page.get("page_kind"),
             "labels": [r["label"] for r in (page.get("regions") or [])],
             "title_text": page.get("title_text"),
             "body_lines": body.split("\n") if body else [],
-            "has_qr": bool(page.get("has_qr")),
-            "qr_rotated": bool(page.get("qr_rotated")),
+            "has_qr": has_qr,
+            "qr_rotated": rotated,
+            "qr_rotation": int(page.get("qr_rotation", 90 if rotated else 0))
+            if has_qr
+            else None,
             "boilerplate": page.get("boilerplate") or [],
             "conf": float(page.get("conf", 1.0)),
             "decode_error": None,
@@ -114,6 +101,7 @@ def _decode_one(raw: bytes | None) -> dict:
             "body_lines": None,
             "has_qr": None,
             "qr_rotated": None,
+            "qr_rotation": None,
             "boilerplate": None,
             "conf": None,
             "decode_error": f"{type(exc).__name__}: {exc}",
@@ -133,6 +121,7 @@ def decode_blobs(blobs):
             pa.field("body_lines", pa.list_(pa.string())),
             pa.field("has_qr", pa.bool_()),
             pa.field("qr_rotated", pa.bool_()),
+            pa.field("qr_rotation", pa.int32()),
             pa.field("boilerplate", pa.list_(pa.string())),
             pa.field("conf", pa.float64()),
             pa.field("decode_error", pa.string()),

@@ -108,6 +108,7 @@ def _media_branch(ex: DataFrame, blobs: DataFrame) -> DataFrame:
                 F.lit(None).cast("array<string>").alias("body_lines"),
                 F.lit(None).cast("boolean").alias("has_qr"),
                 F.lit(None).cast("boolean").alias("qr_rotated"),
+                F.lit(None).cast("int").alias("qr_rotation"),
                 F.lit(None).cast("array<string>").alias("boilerplate"),
                 F.lit(None).cast("double").alias("conf"),
                 F.lit("missing_blob").alias("decode_error"),

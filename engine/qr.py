@@ -84,11 +84,13 @@ def _scan_line(line: np.ndarray) -> list[tuple[int, int]]:
     return out
 
 
-def detect_finder_centers(img: np.ndarray) -> list[tuple[int, int]]:
-    """Scan every row for the ratio, cross-check the column through each
-    candidate, dedup centers closer than 10 px (pdf_processor.py:774-780)."""
+def detect_finder_centers(img: np.ndarray, stride: int = 1) -> list[tuple[int, int]]:
+    """Scan rows (every ``stride``-th — the finder's middle band is 3 modules
+    = 12 px tall, so stride ≤ 4 cannot miss it) for the ratio, cross-check
+    the column through each candidate, dedup centers closer than 10 px
+    (pdf_processor.py:774-780)."""
     candidates: list[tuple[int, int]] = []
-    for y in range(img.shape[0]):
+    for y in range(0, img.shape[0], stride):
         for cx, _w in _scan_line(img[y]):
             col_hits = _scan_line(img[:, cx])
             for cy, _h in col_hits:

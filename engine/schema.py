@@ -82,6 +82,8 @@ PAGE_FEATURES_STRUCT = StructType(
         StructField("body_lines", ArrayType(StringType()), True),
         StructField("has_qr", BooleanType(), True),
         StructField("qr_rotated", BooleanType(), True),
+        # detected page rotation in degrees (0/90/180/270) — null when no QR
+        StructField("qr_rotation", IntegerType(), True),
         StructField("boilerplate", ArrayType(StringType()), True),
         StructField("conf", DoubleType(), True),  # synthetic OCR confidence (A6 histogram)
         StructField("decode_error", StringType(), True),
