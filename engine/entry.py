@@ -18,7 +18,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.codec import encode_page
 from engine.pipeline import run_extraction
 from engine.relational import _q, load
 from engine.schema import MEDIA_BLOBS_SCHEMA
@@ -196,36 +195,64 @@ def x_table_parse_service(spark, sf_dir):
     )
 
 
+# Deterministic page-kind cycle for the flagship media spans: every router
+# branch (P3-P8) appears, keyed purely on doc_id arithmetic so the DuckDB
+# oracle can restate the expected routing outcome without running anything.
+FLAGSHIP_KINDS = [
+    "janzour",
+    "janzour_receipt",
+    "massara",
+    "massara_medicine",
+    "idcard",
+    "skip_medicine_title",
+    "skip_discharge",
+    "blank",
+]
+
+
+def flagship_spec(i: int) -> dict:
+    """Bitmap page spec for doc i — pure function, shared by the payload UDF
+    and nothing else (the oracle restates intent in SQL, not via this code)."""
+    kind = FLAGSHIP_KINDS[i % 8]
+    spec: dict = {"page_kind": kind, "conf": 0.5 + (i % 50) / 100.0}
+    body = [
+        f"Service code BIO{i % 10000:04d} billed at standard rate.",
+        f"رقم الفاتورة: INV-{i % 100000:05d}",
+    ]
+    if kind == "janzour":
+        spec.update(
+            title_text="كشف تفاصيل الخدمات",
+            body_lines=body,
+            barcode=True,
+            boiler_lines=["[BARCODE ZONE]"],
+        )
+    elif kind == "janzour_receipt":
+        spec.update(title_text=f"إيصال رقم {i % 9999}", body_lines=body)
+    elif kind == "massara":
+        spec.update(body_lines=body)
+    elif kind == "massara_medicine":
+        spec.update(title_text="فقرة الخدمات العامة", body_lines=body)
+    elif kind == "idcard":
+        spec.update(
+            body_lines=[f"اسم المستفيد: مستفيد رقم {i % 1000}", f"ACA-{i % 10000:04d}-00080-X1Z"],
+            rotation=[0, 90, 180, 270][(i // 8) % 4],
+            noise_text="PAGE FOOTER — printed by HIS v4.2",
+        )
+    elif kind == "skip_medicine_title":
+        spec.update(title_text="أدوية ومستلزمات من الايواء", body_lines=body)
+    elif kind == "skip_discharge":
+        spec.update(title_text="ورقة خروج", body_lines=body)
+    return spec
+
+
 @F.pandas_udf(BinaryType())
 def _page_payload(doc_id: pd.Series) -> pd.Series:
-    """Deterministic janzour-style page per doc — codec-encoded, no RNG."""
-    def mk(i: int) -> bytes:
-        i = int(i)
-        return encode_page(
-            {
-                "page_kind": "janzour",
-                "regions": [
-                    {"label": "doc_title", "bbox": [0, 0, 900, 90]},
-                    {"label": "header", "bbox": [0, 100, 900, 190]},
-                    {"label": "table", "bbox": [0, 200, 900, 600]},
-                ],
-                "title_text": "كشف تفاصيل الخدمات",
-                "body_text": "\n".join(
-                    [
-                        f"رقم الفاتورة: INV-{i % 100000:05d}",
-                        "[BARCODE ZONE]",
-                        f"Service code BIO{i % 10000:04d} billed at standard rate.",
-                        f"**الاجمالي:** {(i % 900) + 100},985.000 دينار",
-                    ]
-                ),
-                "has_qr": False,
-                "qr_rotated": False,
-                "boilerplate": ["[BARCODE ZONE]"],
-                "conf": 0.5 + (i % 50) / 100.0,
-            }
-        )
+    """Deterministic BITMAP page per doc (SPB1) — the flagship media branch
+    exercises the real detectors: P1 projection-profile layout, M6 barcode
+    whiten, M7-M9 QR orient, M10 idcard crop.  No RNG."""
+    from engine.bitmap import encode_bitmap_page
 
-    return doc_id.map(mk)
+    return doc_id.map(lambda i: encode_bitmap_page(flagship_spec(int(i))))
 
 
 def interleaved_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -247,6 +274,58 @@ def interleaved_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     ).select("doc_id", F.concat("spans", F.array("mspan")).alias("spans"))
     blobs = d.select(ref.alias("media_ref"), _page_payload(F.col("doc_num")).alias("payload"))
     return spans, blobs
+
+
+@_q(
+    "x_media_route_counts",
+    "P1-P8 + M6-M10 end-to-end over the BITMAP flagship corpus: per-(mode, "
+    "status, reason) media-span routing counts where labels / QR flags / "
+    "boilerplate are all derived from pixels by the projection-profile "
+    "detector; the oracle restates expected routing from the doc_id "
+    "page-kind cycle arithmetically",
+    """
+    SELECT mode, status, reason, count(*) AS cnt FROM (
+      SELECT CASE doc_id % 8 WHEN 0 THEN 'janzour' WHEN 1 THEN 'janzour_receipt'
+                             WHEN 2 THEN 'massara' WHEN 3 THEN 'massara_medicine'
+                             WHEN 4 THEN 'idcard' END AS mode,
+             CASE WHEN doc_id % 8 <= 4 THEN 'kept' ELSE 'skipped' END AS status,
+             CASE doc_id % 8 WHEN 5 THEN 'medicine_title' WHEN 6 THEN 'discharge'
+                             WHEN 7 THEN 'no_content' END AS reason
+      FROM documents
+    ) GROUP BY mode, status, reason
+    """,
+)
+def x_media_route_counts(spark, sf_dir):
+    spans, blobs = interleaved_corpus(spark, sf_dir)
+    res = run_extraction(spark, spans, blobs, run_id="driver-x-media", persist=False)
+    return (
+        res.spine.filter(F.col("kind") == "media")
+        .groupBy("mode", "status", "reason")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "x_qr_rotation_hist",
+    "M7-M9 — QR finder-pattern scan + L-corner orientation on real rasters: "
+    "rotation histogram over the flagship idcard pages vs the arithmetic "
+    "restatement of the render cycle",
+    """
+    SELECT CAST(((doc_id // 8) % 4) * 90 AS INTEGER) AS rotation, count(*) AS cnt
+    FROM documents WHERE doc_id % 8 = 4 GROUP BY rotation
+    """,
+)
+def x_qr_rotation_hist(spark, sf_dir):
+    from engine.layout import decode_blobs
+
+    _, blobs = interleaved_corpus(spark, sf_dir)
+    feats = decode_blobs(blobs)
+    return (
+        feats.filter(F.col("feats.has_qr"))
+        .select(F.col("feats.qr_rotation").alias("rotation"))
+        .groupBy("rotation")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
