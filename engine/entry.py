@@ -328,6 +328,41 @@ def x_qr_rotation_hist(spark, sf_dir):
     )
 
 
+@_q(
+    "x_documents_by_mode",
+    "E2 per-mode template dispatch (tasks.py:172-178 + the patient_identity "
+    "third variant pdf_processor.py:1395-1444): canonical-document build "
+    "selects the header parser per elected doc mode — massara docs parse the "
+    "massara header, idcard docs the identity block, janzour docs NEITHER "
+    "(their header_massara stays null even though the label text is present)",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CASE doc_id % 8 WHEN 0 THEN 'janzour' WHEN 1 THEN 'janzour_receipt'
+                           WHEN 2 THEN 'massara' WHEN 3 THEN 'massara_medicine'
+                           WHEN 4 THEN 'idcard' ELSE 'janzour' END AS mode,
+           CASE WHEN doc_id % 8 IN (2, 3)
+                THEN 'INV-' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+           END AS ms_invoice,
+           CASE WHEN doc_id % 8 = 4
+                THEN 'ACA-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-00080-X1Z'
+           END AS id_number
+    FROM documents
+    """,
+)
+def x_documents_by_mode(spark, sf_dir):
+    from engine.parse import doc_modes, extract_documents
+
+    spans, blobs = interleaved_corpus(spark, sf_dir)
+    res = run_extraction(spark, spans, blobs, run_id="driver-x-docs", persist=False)
+    docs = extract_documents(res.spans_out, modes=doc_modes(res.spine))
+    return docs.select(
+        "doc_id",
+        "mode",
+        F.col("header_massara.invoice_number").alias("ms_invoice"),
+        F.col("patient_identity.national_id").alias("id_number"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Full pipeline over the interleaved corpus; returns exploded spans_out."""
     spans, blobs = interleaved_corpus(spark, sf_dir)

@@ -321,24 +321,77 @@ def extract_sections(doc_text: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
-def extract_documents(spans_out: DataFrame, mode_hint: str = "janzour") -> DataFrame:
+def doc_modes(spine: DataFrame) -> DataFrame:
+    """Per-document canonical mode: the most frequent processed (non-null)
+    span mode, ties broken lexicographically — deterministic.  The reference
+    picks the extraction template per document at the upload route
+    (app/tasks.py:172-178: janzour/safwa → janzour prompt, massara/muasafat →
+    massara prompt); here the routed span modes elect it."""
+    counts = (
+        spine.filter(F.col("mode").isNotNull())
+        .groupBy("doc_id", "mode")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.max_by("mode", F.struct(F.col("n"), F.col("mode"))).alias("mode")
+    )
+
+
+# Template dispatch (tasks.py:172-178 + the third JSON variant at
+# pdf_processor.py:1395-1444 which adds the patient_identity block):
+_MODES_JANZOUR = ("janzour", "janzour_receipt", "default")
+_MODES_MASSARA = ("massara", "massara_medicine")
+_MODES_IDENTITY = ("idcard", "massara_medicine")
+
+
+def extract_documents(
+    spans_out: DataFrame,
+    modes: DataFrame | None = None,
+    default_mode: str = "janzour",
+) -> DataFrame:
     """spans_out → canonical extracted documents:
-    (doc_id, header struct, sections, footer) — the Spark equivalent of the
-    reference's GPT-extraction stage (E2) built from the native parsers."""
+    (doc_id, mode, header_janzour, header_massara, patient_identity,
+    sections, footer) — the Spark equivalent of the reference's
+    GPT-extraction stage (E2) built from the native parsers.
+
+    Per-mode dispatch: each header family is computed ONLY for documents
+    whose elected mode selects it (F.when gates the parse per row — the
+    regex work does not run for other documents), mirroring the reference's
+    template→prompt selection instead of computing every variant:
+      janzour/janzour_receipt/default → header_janzour (F16)
+      massara/massara_medicine        → header_massara (F14)
+      idcard/massara_medicine         → patient_identity (F17; third JSON
+                                         variant pdf_processor.py:1409-1414)
+    ``modes`` is (doc_id, mode) — typically doc_modes(result.spine); docs
+    without a row (all-skipped or text-only) fall back to ``default_mode``
+    (the reference's route-level template default).
+    """
     joined = spans_out.select(
         "doc_id",
         F.array_join(
             F.transform("spans_out", lambda s: F.coalesce(s["text"], F.lit(""))), "\n"
         ).alias("text"),
     )
-    secs = extract_sections(joined)
+    if modes is not None:
+        joined = joined.join(modes, "doc_id", "left")
+    else:
+        joined = joined.withColumn("mode", F.lit(None).cast("string"))
+    mode = F.coalesce(F.col("mode"), F.lit(default_mode))
+    secs = extract_sections(joined.select("doc_id", "text"))
     return (
         joined.join(secs, "doc_id", "left")
         .select(
             "doc_id",
-            parse_header_janzour(F.col("text")).alias("header_janzour"),
-            parse_header_massara(F.col("text")).alias("header_massara"),
-            parse_idcard(F.col("text")).alias("idcard"),
+            mode.alias("mode"),
+            F.when(mode.isin(*_MODES_JANZOUR), parse_header_janzour(F.col("text"))).alias(
+                "header_janzour"
+            ),
+            F.when(mode.isin(*_MODES_MASSARA), parse_header_massara(F.col("text"))).alias(
+                "header_massara"
+            ),
+            F.when(mode.isin(*_MODES_IDENTITY), parse_idcard(F.col("text"))).alias(
+                "patient_identity"
+            ),
             "sections",
             "footer",
         )
