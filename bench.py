@@ -102,6 +102,59 @@ def run_extraction_bench(spark, n_docs: int) -> dict:
     }
 
 
+def bitmap_corpus_dir(n_docs: int) -> str:
+    d = REPO / ".bench_cache" / f"bitmap-v{fixtures.FIXTURE_VERSION}-{BENCH_SEED}-{n_docs}"
+    if not (d / "spans").exists():
+        fixtures.write_bitmap_corpus(str(d), n_docs, seed=BENCH_SEED)
+    return str(d)
+
+
+def run_bitmap_extraction_bench(spark, n_docs: int) -> dict:
+    """Extraction over BITMAP payloads: the decode UDF runs the real P1
+    projection-profile detector + QR/barcode operators on rasters.  Arrow
+    batches are capped lower for this branch (raster payloads are ~120 KB
+    each — 2048-record batches would hold ~250 MB per task; the per-branch
+    maxRecordsPerBatch tuning is exactly SURVEY §2.9 X6's knob)."""
+    from tests import oracle_bitmap
+
+    cdir = bitmap_corpus_dir(n_docs)
+    spans = spark.read.parquet(f"{cdir}/spans")
+    blobs = spark.read.parquet(f"{cdir}/media_blobs")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    try:
+        elapsed, out = None, None
+        for _ in range(2):
+            t0 = time.time()
+            res = run_extraction(spark, spans, blobs, run_id="bench-bitmap")
+            out = res.spans_out.agg(
+                F.count("*").alias("docs"), F.sum(F.size("spans_out")).alias("spans")
+            ).collect()[0]
+            dt = time.time() - t0
+            elapsed = dt if elapsed is None or dt < elapsed else elapsed
+        # correctness spot-check vs the spec-driven oracle (intent, no detector code)
+        step = max(1, n_docs // 20)
+        sample_ids = [fixtures.doc_name(i) for i in range(0, n_docs, step)]
+        got = {
+            r["doc_id"]: [
+                (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans_out"]
+            ]
+            for r in res.spans_out.filter(F.col("doc_id").isin(sample_ids)).collect()
+        }
+        for i in range(0, n_docs, step):
+            s_row, _, specs = fixtures.gen_bitmap_doc(BENCH_SEED, i)
+            want, _ = oracle_bitmap.process_doc(s_row["spans"], specs)
+            assert got.get(s_row["doc_id"]) == want, f"bitmap bench check failed for doc {i}"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    return {
+        "docs": int(out["docs"]),
+        "spans_kept": int(out["spans"]),
+        "seconds": round(elapsed, 2),
+        "docs_per_sec": round(out["docs"] / elapsed, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -134,6 +187,9 @@ def main() -> None:
 
     ext = run_extraction_bench(spark, n_docs)
     timings["extraction_e2e"] = ext["seconds"]
+
+    ext_bmp = run_bitmap_extraction_bench(spark, max(200, n_docs // 5))
+    timings["extraction_bitmap"] = ext_bmp["seconds"]
 
     # canonical-document build (E2 parse layer) over the extracted spans
     from engine.parse import extract_documents
@@ -168,6 +224,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "extraction": ext,
+                "extraction_bitmap": ext_bmp,
                 "cpus": cpus,
             }
         )

@@ -182,6 +182,44 @@ def decode_bitmap(blob: bytes) -> tuple[np.ndarray, dict[str, Any]]:
 
 
 # ---------------------------------------------------------------------------
+# M1-M5 — standalone crop/geometry ops (image_utils.py:9-138).  ndarray
+# slices on the decoded raster; the fused decode path composes the same
+# arithmetic (title-strip, idcard crop), these are the reusable primitives.
+# ---------------------------------------------------------------------------
+
+
+def crop_region(img: np.ndarray, bbox) -> np.ndarray:
+    """M1 (image_utils.py:9-28): crop bbox [x1,y1,x2,y2]."""
+    x1, y1, x2, y2 = (int(v) for v in bbox)
+    return img[max(0, y1) : y2, max(0, x1) : x2]
+
+
+def crop_below_bbox(img: np.ndarray, bbox) -> np.ndarray:
+    """M2 (image_utils.py:31-56): keep from bbox TOP (y1) to page bottom —
+    strips everything above the title."""
+    return img[max(0, int(bbox[1])) :, :]
+
+
+def crop_from_lower(img: np.ndarray, bbox, offset: int = 50) -> np.ndarray:
+    """M3 (image_utils.py:58-85): keep below bbox bottom + offset (header strip)."""
+    return img[max(0, int(bbox[3]) + offset) :, :]
+
+
+def crop_from_upper(img: np.ndarray, bbox, offset: int = 50) -> np.ndarray:
+    """M4 (image_utils.py:88-117): keep above bbox top − offset (footer strip);
+    clamped at 0 like the reference."""
+    return img[: max(0, int(bbox[1]) - offset), :]
+
+
+def vertical_distance(b1, b2) -> float:
+    """M5 (image_utils.py:120-138): b2.y1 − b1.y2 (signed); 0.0 on bad input."""
+    try:
+        return float(b2[1]) - float(b1[3])
+    except (IndexError, TypeError, ValueError):
+        return 0.0
+
+
+# ---------------------------------------------------------------------------
 # P1 — projection-profile layout detection (two-track resolution)
 # ---------------------------------------------------------------------------
 

@@ -372,6 +372,42 @@ def bitmap_corpus_rows(
     return all_spans, all_blobs, all_specs
 
 
+def write_bitmap_corpus(
+    out_dir: str,
+    n_docs: int,
+    seed: int = 42,
+    docs_per_file: int = 500,
+    **kw: Any,
+) -> tuple[str, str]:
+    """Bitmap-corpus twin of write_corpus (rasters compress well in parquet —
+    the spec dicts are NOT persisted; bench spot-checks regenerate them from
+    (seed, i), the same pure-function property as the SPG1 corpus)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spans_schema, blobs_schema = _pa_schemas()
+    spans_dir = os.path.join(out_dir, "spans")
+    blobs_dir = os.path.join(out_dir, "media_blobs")
+    os.makedirs(spans_dir, exist_ok=True)
+    os.makedirs(blobs_dir, exist_ok=True)
+    for start in range(0, n_docs, docs_per_file):
+        k = start // docs_per_file
+        cs, cb = [], []
+        for i in range(start, min(start + docs_per_file, n_docs)):
+            s, b, _ = gen_bitmap_doc(seed, i, **kw)
+            cs.append(s)
+            cb.extend(b)
+        pq.write_table(
+            pa.Table.from_pylist(cs, schema=spans_schema),
+            os.path.join(spans_dir, f"part-{k:05d}.parquet"),
+        )
+        pq.write_table(
+            pa.Table.from_pylist(cb, schema=blobs_schema),
+            os.path.join(blobs_dir, f"part-{k:05d}.parquet"),
+        )
+    return spans_dir, blobs_dir
+
+
 def _pa_schemas():
     import pyarrow as pa
 

@@ -152,3 +152,23 @@ def test_bitmap_golden_pipeline(spark, bitmap_corpus):
         (r["doc_id"], r["offset"]): r["status"] for r in result.lineage.collect()
     }
     assert got_lin == want_lin
+
+
+def test_crop_ops_m1_to_m5():
+    """M1-M5 (image_utils.py:9-138): exact slice semantics incl. clamping."""
+    img = np.arange(100 * 60, dtype=np.int32).reshape(100, 60).astype(np.uint8)
+    bbox = [10, 20, 50, 40]
+    assert bitmap.crop_region(img, bbox).shape == (20, 40)
+    assert np.array_equal(bitmap.crop_region(img, bbox), img[20:40, 10:50])
+    # M2: keep from bbox TOP to bottom (strip above the title)
+    assert np.array_equal(bitmap.crop_below_bbox(img, bbox), img[20:, :])
+    # M3: keep below bbox bottom + 50 (40+50=90)
+    assert np.array_equal(bitmap.crop_from_lower(img, bbox), img[90:, :])
+    assert bitmap.crop_from_lower(img, [0, 0, 10, 80]).shape[0] == 0  # clamp past end
+    # M4: keep above bbox top − 50, clamped at 0
+    assert bitmap.crop_from_upper(img, bbox).shape[0] == 0  # 20-50 → 0
+    assert np.array_equal(bitmap.crop_from_upper(img, [0, 70, 10, 80]), img[:20, :])
+    # M5: signed gap, 0.0 on malformed input
+    assert bitmap.vertical_distance([0, 0, 10, 30], [0, 45, 10, 60]) == 15.0
+    assert bitmap.vertical_distance([0, 0, 10, 50], [0, 45, 10, 60]) == -5.0
+    assert bitmap.vertical_distance([0], [1, 2]) == 0.0
