@@ -28,9 +28,26 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--arrow-batch",
+        type=int,
+        default=None,
+        help="override arrow.maxRecordsPerBatch (raster corpora: ~120 KB/payload "
+        "→ cap the batch so a task never pins hundreds of MB)",
+    )
     args = ap.parse_args()
 
-    spark = get_spark(f"scale-{args.cores}", cores=args.cores, shuffle_partitions=args.cores)
+    extra = (
+        {"spark.sql.execution.arrow.maxRecordsPerBatch": str(args.arrow_batch)}
+        if args.arrow_batch
+        else None
+    )
+    spark = get_spark(
+        f"scale-{args.cores}",
+        cores=args.cores,
+        shuffle_partitions=args.cores,
+        extra_conf=extra,
+    )
     spans = spark.read.parquet(f"{args.corpus}/spans")
     blobs = spark.read.parquet(f"{args.corpus}/media_blobs")
     n_docs = spans.count()  # warms the scan + JVM before timing

@@ -37,9 +37,11 @@ from engine import fixtures  # noqa: E402
 SEED = 1234
 
 
-def run_level(cores: int, corpus: str, runs: int) -> dict:
+def run_level(cores: int, corpus: str, runs: int, arrow_batch: int | None = None) -> dict:
     cmd = [sys.executable, str(REPO / "bench" / "run_scale.py"),
            "--cores", str(cores), "--corpus", corpus, "--runs", str(runs)]
+    if arrow_batch:
+        cmd += ["--arrow-batch", str(arrow_batch)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=str(REPO))
@@ -70,6 +72,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2, help="small parallelism level N")
     ap.add_argument("--docs", type=int, default=120000)
+    ap.add_argument("--bitmap-docs", type=int, default=6000)
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
@@ -78,12 +81,22 @@ def main() -> None:
     if not (cdir / "spans").exists():
         print(f"generating corpus ({args.docs} docs)…", file=sys.stderr)
         fixtures.write_corpus(str(cdir), args.docs, seed=SEED, docs_per_file=1000)
+    bdir = REPO / ".bench_cache" / f"bitmap-v{fixtures.FIXTURE_VERSION}l2-{SEED}-{args.bitmap_docs}"
+    if not (bdir / "spans").exists():
+        print(f"generating bitmap corpus ({args.bitmap_docs} docs)…", file=sys.stderr)
+        fixtures.write_bitmap_corpus(str(bdir), args.bitmap_docs, seed=SEED)
 
     ceiling = raw_cpu_ceiling(n, n4)
     lo = run_level(n, str(cdir), args.runs)
     hi = run_level(n4, str(cdir), args.runs)
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     norm = eff / ceiling["efficiency"] if ceiling["efficiency"] else None
+    # bitmap (real-detector) job at the same two levels — the decode UDF is
+    # ~100% of its cost, so this evidences the Python/Arrow stage scaling too
+    blo = run_level(n, str(bdir), args.runs, arrow_batch=256)
+    bhi = run_level(n4, str(bdir), args.runs, arrow_batch=256)
+    beff = bhi["docs_per_sec"] / (4 * blo["docs_per_sec"])
+    bnorm = beff / ceiling["efficiency"] if ceiling["efficiency"] else None
 
     report = {
         "protocol": f"same job, same input, pinned local[{n}] vs local[{n4}]",
@@ -91,10 +104,15 @@ def main() -> None:
         f"local[{n}]": lo,
         f"local[{n4}]": hi,
         "scaling_efficiency": round(eff, 3),
+        "bitmap_docs": blo["docs"],
+        f"bitmap_local[{n}]": blo,
+        f"bitmap_local[{n4}]": bhi,
+        "bitmap_scaling_efficiency": round(beff, 3),
         "raw_cpu_ceiling_efficiency": ceiling["efficiency"],
         "machine_normalized_efficiency": round(norm, 3) if norm else None,
+        "bitmap_machine_normalized_efficiency": round(bnorm, 3) if bnorm else None,
         "pass_threshold": 0.8,
-        "passed": eff >= 0.8,
+        "passed": eff >= 0.8 and beff >= 0.8,
     }
     print(json.dumps(report))
 
@@ -121,6 +139,22 @@ warm-up.
 | local[{n4}] (4N, pinned {n4} CPUs) | {hi['seconds']} | {hi['docs_per_sec']} |
 
 **Scaling efficiency (4N vs N): {eff:.3f}** — threshold ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}.
+
+## Bitmap (real-detector) job at the same two levels
+
+Same protocol over the SPB1 raster corpus ({blo['docs']} docs) — the decode
+UDF (QR finder scan, barcode whiten, projection-profile layout, idcard crop)
+dominates this job, so this measures the Python/Arrow stage's scaling
+specifically; `arrow.maxRecordsPerBatch=256` on both levels (raster payloads
+are ~120 KB each).
+
+| parallelism | wall (s) | docs/sec |
+|---|---|---|
+| local[{n}] (pinned) | {blo['seconds']} | {blo['docs_per_sec']} |
+| local[{n4}] (pinned) | {bhi['seconds']} | {bhi['docs_per_sec']} |
+
+**Bitmap scaling efficiency: {beff:.3f}** → {"PASS" if beff >= 0.8 else "FAIL"}
+(machine-normalized {bnorm:.3f}).
 
 ## Machine ceiling (context)
 

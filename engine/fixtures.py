@@ -376,12 +376,19 @@ def write_bitmap_corpus(
     out_dir: str,
     n_docs: int,
     seed: int = 42,
-    docs_per_file: int = 500,
+    docs_per_file: int = 100,
+    row_group_rows: int = 64,
     **kw: Any,
 ) -> tuple[str, str]:
     """Bitmap-corpus twin of write_corpus (rasters compress well in parquet —
     the spec dicts are NOT persisted; bench spot-checks regenerate them from
-    (seed, i), the same pure-function property as the SPG1 corpus)."""
+    (seed, i), the same pure-function property as the SPG1 corpus).
+
+    Small files + small row groups on the BLOBS side: rasters compress ~15×,
+    so a 500-doc single-row-group file is one ~small split → the decode stage
+    (the expensive one here) would run near-serial.  Input-split granularity
+    IS the media-branch parallelism knob (decode sits on the scan), exactly
+    the property PLANS.md §1 documents."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -404,6 +411,7 @@ def write_bitmap_corpus(
         pq.write_table(
             pa.Table.from_pylist(cb, schema=blobs_schema),
             os.path.join(blobs_dir, f"part-{k:05d}.parquet"),
+            row_group_size=row_group_rows,
         )
     return spans_dir, blobs_dir
 
