@@ -25,6 +25,7 @@ if str(_REPO) not in sys.path:
 
 import engine.relational as _relational  # noqa: E402  (registers queries)
 import engine.trainops as _trainops  # noqa: E402,F401  (registers queries)
+import engine.multimodal as _multimodal  # noqa: E402,F401  (registers queries)
 import engine.entry as _entry  # noqa: E402,F401  (registers queries)
 
 

@@ -27,6 +27,7 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 import engine.entry  # noqa: E402,F401  (registers queries)
+import engine.multimodal  # noqa: E402,F401
 import engine.trainops  # noqa: E402,F401
 from engine import fixtures  # noqa: E402
 from engine.pipeline import run_extraction  # noqa: E402

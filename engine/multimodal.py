@@ -173,3 +173,120 @@ def sample_frames(assets: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.select("asset_id", "payload").mapInPandas(gen, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Driver-checked queries: the multimodal plumbing (metadata extraction,
+# resize arithmetic, frame-sample fan-out, per-item failure isolation) is
+# value-checked against DuckDB restatements of the deterministic synthesis —
+# the UDFs run for real; the oracle re-derives their expected output from
+# vec_id arithmetic alone.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine.relational import _q, load  # noqa: E402
+
+_CORRUPT_EVERY = 97  # vec_id % 97 == 0 → junk payload → error-isolation path
+
+
+@F.pandas_udf(BinaryType())
+def _image_asset_payload(vec_id: pd.Series) -> pd.Series:
+    def mk(i: int) -> bytes:
+        i = int(i)
+        if i % _CORRUPT_EVERY == 0:
+            return b"JUNK"
+        return encode_image(100 + i % 200, 50 + i % 100, seed=i)
+
+    return vec_id.map(mk)
+
+
+@F.pandas_udf(BinaryType())
+def _video_asset_payload(vec_id: pd.Series) -> pd.Series:
+    def mk(i: int) -> bytes:
+        i = int(i)
+        if i % _CORRUPT_EVERY == 0:
+            return b"JUNK"
+        return encode_video([encode_image(8, 8, seed=j) for j in range(1 + i % 5)])
+
+    return vec_id.map(mk)
+
+
+def _image_assets(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("img-"), F.col("vec_id")).alias("asset_id"),
+        _image_asset_payload(F.col("vec_id")).alias("payload"),
+    )
+
+
+@_q(
+    "x_multimodal_image_meta",
+    "multimodal — image metadata extraction over binary assets (mapInPandas, "
+    "per-item failure isolation): width/height/n_bytes parsed from the "
+    "container header; corrupt payloads yield an error column, never a "
+    "failed task (X3)",
+    f"""
+    SELECT 'img-' || CAST(vec_id AS VARCHAR) AS asset_id,
+           CASE WHEN vec_id % {_CORRUPT_EVERY} = 0 THEN NULL
+                ELSE CAST(100 + vec_id % 200 AS INTEGER) END AS width,
+           CASE WHEN vec_id % {_CORRUPT_EVERY} = 0 THEN NULL
+                ELSE CAST(50 + vec_id % 100 AS INTEGER) END AS height,
+           CASE WHEN vec_id % {_CORRUPT_EVERY} = 0 THEN NULL
+                ELSE 4108 END AS n_bytes,
+           CASE WHEN vec_id % {_CORRUPT_EVERY} = 0
+                THEN 'ValueError: not an IMG1 payload' END AS error
+    FROM embeddings
+    """,
+)
+def x_multimodal_image_meta(spark, sf_dir):
+    return image_metadata(_image_assets(spark, sf_dir))
+
+
+@_q(
+    "x_multimodal_resize",
+    "multimodal — deterministic resize (clamp to max side 128 preserving "
+    "aspect — the same two-track arithmetic as the layout detector); "
+    "dimensions value-checked, payload re-encoded through the codec",
+    f"""
+    WITH src AS (
+      SELECT vec_id,
+             CAST(100 + vec_id % 200 AS DOUBLE) AS w,
+             CAST(50 + vec_id % 100 AS DOUBLE) AS h
+      FROM embeddings
+    )
+    SELECT 'img-' || CAST(vec_id AS VARCHAR) AS asset_id,
+           CASE WHEN vec_id % {_CORRUPT_EVERY} = 0 THEN NULL
+                ELSE greatest(1, CAST(floor(w * least(1.0, 128.0 / greatest(w, h))) AS INTEGER))
+           END AS width,
+           CASE WHEN vec_id % {_CORRUPT_EVERY} = 0 THEN NULL
+                ELSE greatest(1, CAST(floor(h * least(1.0, 128.0 / greatest(w, h))) AS INTEGER))
+           END AS height
+    FROM src
+    """,
+)
+def x_multimodal_resize(spark, sf_dir):
+    return resize_images(_image_assets(spark, sf_dir), max_side=128).select(
+        "asset_id", "width", "height"
+    )
+
+
+@_q(
+    "x_multimodal_frames",
+    "multimodal — video frame sampling fan-out (one asset → every 2nd frame "
+    "as its own row); corrupt containers isolate to a frame_index = -1 row",
+    f"""
+    SELECT 'vid-' || CAST(vec_id AS VARCHAR) AS asset_id,
+           CAST(u.i AS INTEGER) AS frame_index
+    FROM embeddings, UNNEST(generate_series(0, vec_id % 5, 2)) AS u(i)
+    WHERE vec_id % {_CORRUPT_EVERY} <> 0
+    UNION ALL
+    SELECT 'vid-' || CAST(vec_id AS VARCHAR), -1
+    FROM embeddings WHERE vec_id % {_CORRUPT_EVERY} = 0
+    """,
+)
+def x_multimodal_frames(spark, sf_dir):
+    assets = load(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("vid-"), F.col("vec_id")).alias("asset_id"),
+        _video_asset_payload(F.col("vec_id")).alias("payload"),
+    )
+    return sample_frames(assets, every=2).select("asset_id", "frame_index")

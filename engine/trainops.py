@@ -248,6 +248,116 @@ def dedup_simhash(spark, sf_dir):
     return toks.groupBy("doc_id").agg(total.alias("simhash"))
 
 
+# --- near-dup connected components (iterative min-label propagation) -------
+# Dedup at scale ends with "pick one doc per duplicate CLUSTER", not per
+# pair: candidate pairs from MinHash-LSH form a graph whose connected
+# components are the duplicate groups (keep min doc_id per component).
+# Spark side: iterative min-label propagation (the standard large-graph CC —
+# GraphFrames is just this loop), each step an equi-join + min agg, lineage
+# truncated per step with localCheckpoint so the plan stays O(1) per
+# iteration.  Components from near-dup copies have tiny diameter, so the
+# loop converges in a few steps; convergence is CHECKED, not assumed.
+# DuckDB oracle: recursive-CTE transitive closure + min-reachable-id — a
+# completely different evaluation strategy arriving at the same labels.
+
+
+@_q(
+    "dedup_components",
+    "training-data dedup — duplicate-cluster assembly: connected components "
+    "over MinHash-LSH candidate pairs (shared_bands ≥ 2) via iterative "
+    "min-label propagation; component id = min doc_id reachable",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+      FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
+      GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b HAVING count(*) >= 2
+    ),
+    edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_a, doc_b FROM edges
+      UNION
+      SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a
+    """,
+)
+def dedup_components(spark, sf_dir):
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("shared_bands") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    comp = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(15):
+        nb = (
+            edges.join(
+                comp.select(F.col("doc_id").alias("nb_id"), F.col("comp").alias("nb_comp")),
+                edges["doc_b"] == F.col("nb_id"),
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nb_comp").alias("nb_comp"))
+        )
+        new = (
+            comp.join(nb, comp["doc_id"] == nb["doc_a"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(comp.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp
+
+
+_BPE_RE = r"'(?:s|t|re|ve|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@_q(
+    "text_tokens_bpe",
+    "text analysis — BPE-ish tokenization: GPT-style pre-tokenizer regex "
+    "(contraction suffixes | letter runs | digit runs | single punctuation) "
+    "counted per source; the whitespace variant is text_tokens",
+    f"""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))) AS BIGINT)
+             AS total_tokens,
+           count(*) AS docs
+    FROM documents GROUP BY source
+    """,
+)
+def text_tokens_bpe(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    return d.groupBy("source").agg(
+        F.sum(n).alias("total_tokens"), F.count("*").alias("docs")
+    )
+
+
 # =========================================================================
 # Similarity search over embeddings
 # =========================================================================
@@ -508,6 +618,46 @@ def sim_lsh_hyperplane(spark, sf_dir):
         emb.select(_lsh_bucket_col(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "sim_lsh_multiprobe",
+    "similarity search — multi-probe LSH ANN: candidates = vectors whose "
+    "sign-bucket is within Hamming distance 1 of the query's bucket (probe "
+    "the home bucket + its 8 single-bit neighbors), then exact cosine top-k "
+    "— the recall-recovery step that makes single-table LSH usable at scale",
+    f"""
+    WITH bl AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
+    ),
+    q AS (SELECT embedding, bucket FROM bl WHERE vec_id = 0)
+    SELECT e.vec_id, {_COS_SQL} AS cos
+    FROM bl e, q
+    WHERE e.vec_id <> 0
+      AND bit_count(xor(e.bucket::BIGINT, q.bucket::BIGINT)) <= 1
+    ORDER BY cos DESC, e.vec_id LIMIT 10
+    """,
+)
+def sim_lsh_multiprobe(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _lsh_bucket_col(F.col("embedding"))
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+        )
+    )
+    near = F.bit_count(
+        F.col("bucket").cast("bigint").bitwiseXOR(F.col("q_bucket").cast("bigint"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .filter(near <= 1)
+        .select("vec_id", _cos(F.col("embedding"), F.col("q_emb")).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
     )
 
 
