@@ -231,7 +231,11 @@ def flagship_spec(i: int) -> dict:
     elif kind == "massara":
         spec.update(body_lines=body)
     elif kind == "massara_medicine":
-        spec.update(title_text="فقرة الخدمات العامة", body_lines=body)
+        spec.update(
+            title_text="فقرة الخدمات العامة",
+            body_lines=body
+            + [f"الطبيب: د. طبيب {i % 100}", f"الجناح: جناح {i % 10}"],
+        )
     elif kind == "idcard":
         spec.update(
             body_lines=[f"اسم المستفيد: مستفيد رقم {i % 1000}", f"ACA-{i % 10000:04d}-00080-X1Z"],
@@ -345,7 +349,10 @@ def x_qr_rotation_hist(spark, sf_dir):
            END AS ms_invoice,
            CASE WHEN doc_id % 8 = 4
                 THEN 'ACA-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-00080-X1Z'
-           END AS id_number
+           END AS id_number,
+           CASE WHEN doc_id % 8 = 3
+                THEN 'د. طبيب ' || CAST(doc_id % 100 AS VARCHAR)
+           END AS md_doctor
     FROM documents
     """,
 )
@@ -360,6 +367,7 @@ def x_documents_by_mode(spark, sf_dir):
         "mode",
         F.col("header_massara.invoice_number").alias("ms_invoice"),
         F.col("patient_identity.national_id").alias("id_number"),
+        F.col("header_medicine.doctor_name_ar").alias("md_doctor"),
     )
 
 

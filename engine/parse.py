@@ -213,6 +213,40 @@ def parse_header_invoice(doc_text: DataFrame, text_col: str = "text") -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Third-variant header (the inline GPT template, pdf_processor.py:1395-1414):
+# the massara core fields PLUS stay/clinical metadata — doctor (en/ar),
+# specialty, insurer, ward, room type, admission/discharge dates.  Used for
+# massara_medicine documents (the medicine/inpatient template).
+# ---------------------------------------------------------------------------
+
+
+def parse_header_medicine(text: Column) -> Column:
+    return F.struct(
+        _grab(text, r"رقم الفاتورة\s*:?\s*\**([^\s:*][^\n*]*)").alias("invoice_number"),
+        _grab(text, r"رقم الملف\s*:?\s*\**([^\s:*][^\n*]*)").alias("file_number"),
+        _grab(text, r"اسم المريض\s*:?\s*\**([^\s:*][^\n*]*)").alias("patient_name"),
+        textops.extract_date_default(
+            F.coalesce(_grab(text, r"التاريخ\s*:?\s*\**([^\s:*][^\n*]*)"), F.lit(""))
+        ).alias("date"),
+        textops.normalize_jz_date(
+            F.coalesce(_grab(text, _STAY_RE, 1), F.lit(""))
+        ).alias("admission_date"),
+        textops.normalize_jz_date(
+            F.coalesce(_grab(text, _STAY_RE, 3), F.lit(""))
+        ).alias("discharge_date"),
+        _grab(text, r"الجهة\s*:?\s*\**([^\s:*][^\n*]*)").alias("company_name"),
+        _grab(text, r"(?:Dr|Doctor)\.?\s*:?\s*([A-Za-z][A-Za-z .\-]*)").alias(
+            "doctor_name_en"
+        ),
+        _grab(text, r"الطبيب\s*:?\s*\**([^\s:*][^\n*]*)").alias("doctor_name_ar"),
+        _grab(text, r"التخصص\s*:?\s*\**([^\s:*][^\n*]*)").alias("specialty"),
+        _grab(text, r"شركة التأمين\s*:?\s*\**([^\s:*][^\n*]*)").alias("insurer_name"),
+        _grab(text, r"الجناح\s*:?\s*\**([^\s:*][^\n*]*)").alias("ward"),
+        _grab(text, r"نوع الغرفة\s*:?\s*\**([^\s:*][^\n*]*)").alias("room_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F17 — idcard fields (header_parser.py:219-245) + F20 id format rule
 # ---------------------------------------------------------------------------
 
@@ -342,6 +376,7 @@ def doc_modes(spine: DataFrame) -> DataFrame:
 _MODES_JANZOUR = ("janzour", "janzour_receipt", "default")
 _MODES_MASSARA = ("massara", "massara_medicine")
 _MODES_IDENTITY = ("idcard", "massara_medicine")
+_MODES_MEDICINE = ("massara_medicine",)
 
 
 def extract_documents(
@@ -392,6 +427,9 @@ def extract_documents(
             F.when(mode.isin(*_MODES_IDENTITY), parse_idcard(F.col("text"))).alias(
                 "patient_identity"
             ),
+            F.when(
+                mode.isin(*_MODES_MEDICINE), parse_header_medicine(F.col("text"))
+            ).alias("header_medicine"),
             "sections",
             "footer",
         )

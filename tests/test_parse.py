@@ -301,3 +301,34 @@ def test_invoice_header_plan_is_single_pass(spark):
     plan = parse.parse_header_invoice(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") <= 2  # one logical window (+ possible reuse line)
     assert "Union" not in plan
+
+
+MEDICINE_HEADER = """رقم الفاتورة: 9921
+رقم الملف: F-881
+اسم المريض: مريض إيواء
+التاريخ: 07.03.2025
+الإقامة: من 24/04/2025 18:48 إلى 26/04/2025 12:32
+الجهة: الشركة الوطنية
+Dr. John Smith
+الطبيب: د. أحمد الصادق
+التخصص: باطنة
+شركة التأمين: شركة الضمان
+الجناح: الجناح الشرقي
+نوع الغرفة: مفردة"""
+
+
+def test_parse_header_medicine_third_variant(spark):
+    # the inline-GPT template's extended header (pdf_processor.py:1395-1414)
+    got = _df(spark, MEDICINE_HEADER).select(
+        parse.parse_header_medicine(F.col("text")).alias("h")
+    ).collect()[0]["h"]
+    assert got["invoice_number"] == "9921"
+    assert got["date"] == "2025-03-07"
+    assert got["admission_date"] == "24/04/2025"
+    assert got["discharge_date"] == "26/04/2025"
+    assert got["doctor_name_en"] == "John Smith"
+    assert got["doctor_name_ar"] == "د. أحمد الصادق"
+    assert got["specialty"] == "باطنة"
+    assert got["insurer_name"] == "شركة الضمان"
+    assert got["ward"] == "الجناح الشرقي"
+    assert got["room_type"] == "مفردة"
