@@ -169,3 +169,34 @@ def test_windowed_event_metrics_matches_batch(spark, tmp_path):
     newest_emitted = max(k[0] for k in got)
     missing = set(want) - set(got)
     assert all(k[0] >= newest_emitted for k in missing)
+
+
+def test_stream_bitmap_corpus_matches_spec_oracle(spark, tmp_path):
+    """Structured Streaming over SPB1 raster payloads: the micro-batched path
+    runs the real pixel detectors and still matches the spec-driven oracle."""
+    from engine.fixtures import write_bitmap_corpus, gen_bitmap_doc
+    from engine.streaming import stream_extraction
+    from tests import oracle_bitmap
+
+    corpus_dir = str(tmp_path / "bcorpus")
+    out_dir = str(tmp_path / "bout")
+    n_docs = 24
+    write_bitmap_corpus(corpus_dir, n_docs=n_docs, seed=31, docs_per_file=6)
+    blobs = spark.read.parquet(f"{corpus_dir}/media_blobs")
+
+    q = stream_extraction(
+        spark, f"{corpus_dir}/spans", blobs, out_dir, run_id="sb1", max_files_per_trigger=2
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans_out"]
+        ]
+        for r in spark.read.parquet(f"{out_dir}/spans_out").collect()
+    }
+    want = {}
+    for i in range(n_docs):
+        s_row, _, specs = gen_bitmap_doc(31, i)
+        want[s_row["doc_id"]], _ = oracle_bitmap.process_doc(s_row["spans"], specs)
+    assert got == want
