@@ -40,7 +40,18 @@ _AUG_SQL = """
 
 
 def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    """Augmented documents, REPARTITIONED to full width: the documents table
+    is a single parquet file (~3 input splits), which would cap the
+    shingle/md5 stages of every dedup query at 3-way parallelism on a
+    32-core node.  Text rows are tiny (unlike media payloads, which must
+    never shuffle), so one round-robin shuffle here buys full-width
+    downstream stages — measured 2× on dedup_minhash_lsh at sf0.1/32 cores.
+    On a real cluster the same width comes from the table's file layout."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
     near = (
         d.filter(F.col("doc_id") % 5 == 0)
         .select(
