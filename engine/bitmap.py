@@ -144,6 +144,15 @@ def render_page(spec: dict[str, Any]) -> tuple[np.ndarray, list[list]]:
         for line in spec.get("boiler_lines") or []:
             texts.append([*BOILER_SLOT, line])
 
+    noise_px = int(spec.get("noise_px", 0) or 0)
+    if noise_px:
+        # deterministic salt-and-pepper speckle (scanner noise analogue)
+        import random as _random
+
+        rng = _random.Random(int(spec.get("noise_seed", 0)))
+        for _ in range(noise_px):
+            img[rng.randrange(PAGE_H), rng.randrange(PAGE_W)] = 0
+
     rotation = int(spec.get("rotation", 0) or 0)
     if rotation:
         img = np.rot90(img, k=(4 - rotation // 90) % 4).copy()
@@ -226,12 +235,19 @@ def vertical_distance(b1, b2) -> float:
 _DECIMATE = 2  # detect on every-2nd-pixel track, rescale bboxes ×2
 _ROW_GAP = 3  # blank decimated rows that split bands (6 full-res rows)
 _COL_GAP = 4  # blank decimated cols that split regions (8 full-res cols)
+# A profile entry needs ≥ this many dark pixels to count as content: real
+# scans carry salt-and-pepper speckle, and a single stray pixel must not
+# bridge a band gap or spawn a phantom region.  Every legitimate structure
+# the renderer draws puts ≥ 2 dark pixels in each of its profile entries
+# even on the decimated track.
+_MIN_PROFILE = 2
 
 
 def _segments(profile: np.ndarray, min_gap: int) -> list[tuple[int, int]]:
-    """Non-blank [start, end) runs of a projection profile, merging runs
-    separated by fewer than min_gap blank entries."""
-    nz = np.flatnonzero(profile)
+    """Content [start, end) runs of a projection profile (entries below the
+    speckle threshold are blank), merging runs separated by fewer than
+    min_gap blank entries."""
+    nz = np.flatnonzero(profile >= _MIN_PROFILE)
     if len(nz) == 0:
         return []
     out = []

@@ -295,7 +295,13 @@ def _bitmap_spec(rng: random.Random) -> dict[str, Any]:
 
     kind = rng.choice(PAGE_KINDS_WEIGHTED)
     assert kind in _KIND_BANDS
-    spec: dict[str, Any] = {"page_kind": kind, "conf": round(rng.uniform(0.3, 1.0), 3)}
+    spec: dict[str, Any] = {
+        "page_kind": kind,
+        "conf": round(rng.uniform(0.3, 1.0), 3),
+        # scanner-speckle analogue: detectors must hold under noise
+        "noise_px": rng.randint(0, 200),
+        "noise_seed": rng.randint(0, 1 << 30),
+    }
     if kind == "janzour":
         spec["title_text"] = SERVICES_TITLE
     elif kind == "janzour_receipt":

@@ -69,8 +69,18 @@ def _ratio_ok(runs: list[int]) -> bool:
 
 def _scan_line(line: np.ndarray) -> list[tuple[int, int]]:
     """→ [(center_idx, pattern_width)] of 1:1:3:1:1 matches along one line.
-    Accepts grayscale uint8 or a precomputed boolean dark mask."""
+    Accepts grayscale uint8 or a precomputed boolean dark mask.
+
+    3-tap majority despeckle first: a single flipped pixel (scanner salt /
+    pepper) splits a run and kills the ratio test, while every legitimate
+    QR structure is ≥ MODULE (4 px) wide — so the filter removes noise and
+    cannot remove signal."""
     dark = line if line.dtype == np.bool_ else line < 128
+    if len(dark) >= 3:
+        d = dark.astype(np.int8)
+        sm = dark.copy()
+        sm[1:-1] = (d[:-2] + d[1:-1] + d[2:]) >= 2
+        dark = sm
     out = []
     # run-length encode
     changes = np.flatnonzero(np.diff(dark.astype(np.int8))) + 1

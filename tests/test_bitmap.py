@@ -172,3 +172,44 @@ def test_crop_ops_m1_to_m5():
     assert bitmap.vertical_distance([0, 0, 10, 30], [0, 45, 10, 60]) == 15.0
     assert bitmap.vertical_distance([0, 0, 10, 50], [0, 45, 10, 60]) == -5.0
     assert bitmap.vertical_distance([0], [1, 2]) == 0.0
+
+
+@pytest.mark.parametrize("rot", [0, 90])
+def test_detector_robust_to_speckle_noise(rot):
+    """Salt-and-pepper speckle (300 px ≈ 0.25% of the page) must not bridge
+    band gaps, spawn phantom regions, or break QR orientation — the profile
+    threshold is the defense."""
+    f = bitmap.extract_features(
+        bitmap.encode_bitmap_page(
+            {
+                "page_kind": "idcard",
+                "body_lines": ["hello"],
+                "rotation": rot,
+                "noise_px": 300,
+                "noise_seed": 7,
+            }
+        )
+    )
+    assert f["has_qr"] is True and f["qr_rotation"] == rot
+    assert f["body_lines"] == ["hello"]
+
+    g = bitmap.extract_features(
+        bitmap.encode_bitmap_page(
+            {
+                "page_kind": "janzour",
+                "title_text": "كشف تفاصيل الخدمات",
+                "body_lines": ["keep"],
+                "barcode": True,
+                "boiler_lines": ["[B]"],
+                "noise_px": 300,
+                "noise_seed": 11,
+            }
+        )
+    )
+    assert sorted(set(g["labels"])) == ["doc_title", "footer", "header", "table"]
+    assert g["boilerplate"] == ["[B]"]
+
+    blank = bitmap.extract_features(
+        bitmap.encode_bitmap_page({"page_kind": "blank", "noise_px": 300, "noise_seed": 3})
+    )
+    assert blank["labels"] == [] and blank["has_qr"] is False
