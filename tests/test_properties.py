@@ -69,3 +69,46 @@ def test_oracle_order_insensitive_to_arrival(seed, n):
     rng.shuffle(shuffled)
     out2, lin2 = oracle.process_doc(shuffled, {})
     assert out1 == out2 and lin1 == lin2
+
+
+def test_decode_one_never_raises_on_fuzz():
+    """X3 failure isolation at the decode boundary: ARBITRARY bytes (both
+    payload magics, truncations, junk) must produce a decode_error dict —
+    never an exception escaping into the task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from engine.layout import _decode_one
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.one_of(
+            st.none(),
+            st.binary(max_size=64),
+            st.binary(min_size=4, max_size=256).map(lambda b: b"SPG1" + b),
+            st.binary(min_size=4, max_size=256).map(lambda b: b"SPB1" + b),
+        )
+    )
+    def run(blob):
+        out = _decode_one(blob)
+        assert isinstance(out, dict)
+        assert "decode_error" in out
+        if out["decode_error"] is None:
+            assert out["body_lines"] is not None
+
+    run()
+
+
+def test_decode_one_roundtrips_both_magics():
+    from engine import bitmap, codec
+    from engine.layout import _decode_one
+
+    spg = _decode_one(
+        codec.encode_page({"page_kind": "massara", "body_text": "x", "regions": []})
+    )
+    assert spg["decode_error"] is None and spg["body_lines"] == ["x"]
+    spb = _decode_one(
+        bitmap.encode_bitmap_page({"page_kind": "massara", "body_lines": ["y"]})
+    )
+    assert spb["decode_error"] is None and spb["body_lines"] == ["y"]
+    assert set(spg) == set(spb)  # one PAGE_FEATURES contract, two codecs
