@@ -46,10 +46,19 @@ class ExtractionResult:
         self.spine.unpersist()
 
 
-def _text_branch(ex: DataFrame) -> DataFrame:
-    """Text-kind spans: batched normalize + classify, pure Catalyst."""
+def _row_local_branch(ex: DataFrame) -> DataFrame:
+    """Text-kind spans (normalize + classify) AND bad-kind spans (P9 input
+    hygiene → bad_kind error lineage, J5: never silently filtered) in ONE
+    projection over ONE scan pass — they are both row-local, so splitting
+    them into separate filter branches would re-scan the spans table for no
+    reason (at 10^12 docs every extra scan of the source table is real I/O).
+    Pure Catalyst."""
+    is_text = F.col("kind") == "text"
+    # kind IS NULL must be matched explicitly: ~isin() evaluates to NULL for
+    # a null kind and a bare filter would drop the span — silently lost.
+    is_bad = F.col("kind").isNull() | ~F.col("kind").isin("text", "media")
     norm = textops.normalize_span_text(F.coalesce(F.col("text"), F.lit("")))
-    df = ex.filter(F.col("kind") == "text").withColumn("out_text", norm)
+    df = ex.filter(is_text | is_bad).withColumn("out_text", F.when(is_text, norm))
     boiler = textops.is_boilerplate(F.col("out_text"))
     empty = F.col("out_text") == ""
     return df.select(
@@ -58,11 +67,13 @@ def _text_branch(ex: DataFrame) -> DataFrame:
         "kind",
         "media_ref",
         "out_text",
-        F.when(empty, F.lit("skipped"))
+        F.when(is_bad, F.lit("error"))
+        .when(empty, F.lit("skipped"))
         .when(boiler, F.lit("dropped_boilerplate"))
         .otherwise(F.lit("kept"))
         .alias("status"),
-        F.when(empty, F.lit("empty"))
+        F.when(is_bad, F.lit("bad_kind"))
+        .when(empty, F.lit("empty"))
         .when(boiler, F.lit("boilerplate"))
         .alias("reason"),
         F.lit(None).cast("double").alias("conf"),
@@ -175,27 +186,12 @@ def build_spine(
     ex = spans.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
     )
-    # P9 input hygiene: unknown kinds become error lineage rows, never a
-    # silent filter (J5 discipline).  kind IS NULL must be matched explicitly:
-    # ~isin() evaluates to NULL for a null kind and filter() would drop the
-    # span from all three branches — silently lost (read-path nullability of
-    # external parquet is advisory, whatever the schema declares).
-    bad = ex.filter(F.col("kind").isNull() | ~F.col("kind").isin("text", "media")).select(
-        "doc_id",
-        "offset",
-        "kind",
-        "media_ref",
-        F.lit(None).cast("string").alias("out_text"),
-        F.lit("error").alias("status"),
-        F.lit("bad_kind").alias("reason"),
-        F.lit(None).cast("double").alias("conf"),
-        F.lit(None).cast("string").alias("mode"),
-    )
-    return (
-        _text_branch(ex)
-        .unionByName(_media_branch(ex, blobs))
-        .unionByName(bad)
-    )
+    # Two scan passes over the spans table total: one for everything
+    # row-local (text + bad-kind), one for the media span metadata feeding
+    # the features join.  (A single-scan variant would have to push text
+    # rows through the media_ref join shuffle — shuffling the whole text
+    # corpus to save a columnar scan is the wrong trade at 10^12 docs.)
+    return _row_local_branch(ex).unionByName(_media_branch(ex, blobs))
 
 
 def run_extraction(

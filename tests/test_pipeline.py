@@ -223,3 +223,29 @@ def test_metrics_counters_additive_and_hist_separate(spark, corpus, corpus_dfs):
     spine_conf = res.spine.filter(F.col("conf").isNotNull()).count()
     assert sum(r["conf_count"] for r in hist) == spine_conf
     res.unpersist()
+
+
+def test_spine_plan_scans_spans_twice_not_thrice(spark, corpus_dfs):
+    """Scan budget: ONE row-local pass (text + bad-kind) + ONE media-metadata
+    pass over the spans table — a third scan is a regression (at 10^12 docs
+    every extra source scan is real I/O)."""
+    import re
+
+    from engine.assemble import reassemble
+    from engine.pipeline import build_spine
+
+    spans, blobs = corpus_dfs
+    # parquet-backed inputs so FileScans are countable
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spans.write.mode("overwrite").parquet(d + "/spans")
+    blobs.write.mode("overwrite").parquet(d + "/blobs")
+    sp = spark.read.parquet(d + "/spans")
+    bl = spark.read.parquet(d + "/blobs")
+    plan = reassemble(build_spine(spark, sp, bl))._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    spans_scans = [s for s in scans if "spans#" in s]
+    blob_scans = [s for s in scans if "payload#" in s]
+    assert len(spans_scans) == 2, scans
+    assert len(blob_scans) == 1, scans
