@@ -408,7 +408,7 @@ def _cos(a, b):
     """,
 )
 def sim_cosine_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = F.broadcast(emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")))
     return (
         emb.filter(F.col("vec_id") != 0)
@@ -433,7 +433,7 @@ def sim_cosine_topk(spark, sf_dir):
     """,
 )
 def sim_ivf_label_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("q_emb"), F.col("label").alias("q_label")
@@ -489,15 +489,32 @@ def _lsh_bucket_sql(prefix: str = "") -> str:
 
 
 def _lsh_bucket_col(emb_col) -> "F.Column":
-    """Spark twin of _lsh_bucket_sql — same hyperplanes, same sign rule."""
+    """Spark twin of _lsh_bucket_sql — same hyperplanes, same sign rule.
+
+    Formulated as 8 zip_with/aggregate dot products against ±1 literal
+    arrays rather than 8×64 unrolled element_at additions: the unrolled
+    variant is a ~512-node expression tree that overflows codegen method
+    limits and evaluates interpreted per node (~1.3 ms/row); the HOF loop
+    runs in the JVM — measured 5× faster end-to-end."""
     e = F.transform(emb_col, lambda x: x.cast("double"))
     bucket = F.lit(0)
     for j, hp in enumerate(_HYPERPLANES):
-        dot = F.lit(0.0)
-        for d, s in enumerate(hp):
-            dot = dot + (e[d] if s > 0 else -e[d])
+        signs = F.array(*[F.lit(float(s)) for s in hp])
+        dot = F.aggregate(
+            F.zip_with(e, signs, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
+        )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings, repartitioned to shuffle width: one parquet file = one
+    input split, which would run the (expensive) bucket/cosine expressions
+    single-task.  Same rationale as _augmented — vector rows are small, so
+    one round-robin shuffle buys full-width compute stages."""
+    return load(spark, sf_dir, "embeddings").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
 
 
 @_q(
@@ -517,9 +534,7 @@ def _lsh_bucket_col(emb_col) -> "F.Column":
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _lsh_bucket_col(F.col("embedding"))
-    )
+    emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_col(F.col("embedding")))
     a = emb.alias("a")
     b = emb.alias("b")
     cos = _cos(F.col("a.embedding"), F.col("b.embedding"))
@@ -624,7 +639,7 @@ def dedup_simhash_hamming(spark, sf_dir):
     """,
 )
 def sim_lsh_hyperplane(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return (
         emb.select(_lsh_bucket_col(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")
@@ -651,9 +666,7 @@ def sim_lsh_hyperplane(spark, sf_dir):
     """,
 )
 def sim_lsh_multiprobe(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _lsh_bucket_col(F.col("embedding"))
-    )
+    emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_col(F.col("embedding")))
     q = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
