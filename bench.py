@@ -106,7 +106,7 @@ def run_extraction_bench(spark, n_docs: int) -> dict:
 def bitmap_corpus_dir(n_docs: int) -> str:
     # "l2" = layout key (100-doc files, 64-row groups → enough input splits
     # for the decode stage; the stage's parallelism IS split granularity)
-    d = REPO / ".bench_cache" / f"bitmap-v{fixtures.FIXTURE_VERSION}l2-{BENCH_SEED}-{n_docs}"
+    d = REPO / ".bench_cache" / f"bitmap-v{fixtures.BITMAP_FIXTURE_VERSION}l2-{BENCH_SEED}-{n_docs}"
     if not (d / "spans").exists():
         fixtures.write_bitmap_corpus(str(d), n_docs, seed=BENCH_SEED)
     return str(d)

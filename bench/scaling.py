@@ -81,7 +81,7 @@ def main() -> None:
     if not (cdir / "spans").exists():
         print(f"generating corpus ({args.docs} docs)…", file=sys.stderr)
         fixtures.write_corpus(str(cdir), args.docs, seed=SEED, docs_per_file=1000)
-    bdir = REPO / ".bench_cache" / f"bitmap-v{fixtures.FIXTURE_VERSION}l2-{SEED}-{args.bitmap_docs}"
+    bdir = REPO / ".bench_cache" / f"bitmap-v{fixtures.BITMAP_FIXTURE_VERSION}l2-{SEED}-{args.bitmap_docs}"
     if not (bdir / "spans").exists():
         print(f"generating bitmap corpus ({args.bitmap_docs} docs)…", file=sys.stderr)
         fixtures.write_bitmap_corpus(str(bdir), args.bitmap_docs, seed=SEED)

@@ -29,6 +29,9 @@ from engine.codec import encode_page
 # Bump when generated content changes — cache directories key on this so a
 # stale bench corpus is never compared against goldens from newer rules.
 FIXTURE_VERSION = 2
+# The bitmap (SPB1) generator versions independently: changing raster specs
+# (e.g. the round-2 noise speckle) must not invalidate SPG1 corpora.
+BITMAP_FIXTURE_VERSION = 3
 
 CONTENT_LINES = [
     "التاريخ: 12.04.2025",
