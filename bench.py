@@ -85,14 +85,23 @@ def run_extraction_bench(spark, n_docs: int) -> dict:
         ).collect()[0]
         dt = time.time() - t0
         elapsed = dt if elapsed is None or dt < elapsed else elapsed
-    # correctness spot-check on a 20-doc sample (outside the timed window)
-    sample_ids = [fixtures.doc_name(i) for i in range(0, n_docs, max(1, n_docs // 20))]
-    got_rows = res.spans_out.filter(F.col("doc_id").isin(sample_ids)).collect()
+    # correctness spot-check on a 20-doc regenerated sample, run through the
+    # same code path as ITS OWN tiny job — filtering the full frame would
+    # re-execute the whole decode over every blob a third time (the doc_id
+    # predicate cannot prune the blobs-side scan the UDF sits on)
+    from engine.schema import MEDIA_BLOBS_SCHEMA, SPANS_SCHEMA
+
     sample_rows, sample_blobs = [], []
     for i in range(0, n_docs, max(1, n_docs // 20)):
         s, b = fixtures.gen_doc(BENCH_SEED, i)
         sample_rows.append(s)
         sample_blobs.extend(b)
+    got_rows = run_extraction(
+        spark,
+        spark.createDataFrame(sample_rows, SPANS_SCHEMA),
+        spark.createDataFrame(sample_blobs, MEDIA_BLOBS_SCHEMA),
+        run_id="bench-check",
+    ).spans_out.collect()
     spot_check(sample_rows, sample_blobs, got_rows)
     res.unpersist()
     return {
@@ -135,19 +144,34 @@ def run_bitmap_extraction_bench(spark, n_docs: int) -> dict:
             ).collect()[0]
             dt = time.time() - t0
             elapsed = dt if elapsed is None or dt < elapsed else elapsed
-        # correctness spot-check vs the spec-driven oracle (intent, no detector code)
+        # correctness spot-check vs the spec-driven oracle (intent, no
+        # detector code) on a regenerated sample run as its own tiny job —
+        # same third-full-decode avoidance as the SPG1 spot check
+        from engine.schema import MEDIA_BLOBS_SCHEMA, SPANS_SCHEMA
+
         step = max(1, n_docs // 20)
-        sample_ids = [fixtures.doc_name(i) for i in range(0, n_docs, step)]
+        sample_rows, sample_blobs, sample_specs = [], [], {}
+        for i in range(0, n_docs, step):
+            s_row, b_rows, specs = fixtures.gen_bitmap_doc(BENCH_SEED, i)
+            sample_rows.append(s_row)
+            sample_blobs.extend(b_rows)
+            sample_specs.update(specs)
         got = {
             r["doc_id"]: [
                 (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans_out"]
             ]
-            for r in res.spans_out.filter(F.col("doc_id").isin(sample_ids)).collect()
+            for r in run_extraction(
+                spark,
+                spark.createDataFrame(sample_rows, SPANS_SCHEMA),
+                spark.createDataFrame(sample_blobs, MEDIA_BLOBS_SCHEMA),
+                run_id="bench-bitmap-check",
+            ).spans_out.collect()
         }
-        for i in range(0, n_docs, step):
-            s_row, _, specs = fixtures.gen_bitmap_doc(BENCH_SEED, i)
-            want, _ = oracle_bitmap.process_doc(s_row["spans"], specs)
-            assert got.get(s_row["doc_id"]) == want, f"bitmap bench check failed for doc {i}"
+        for s_row in sample_rows:
+            want, _ = oracle_bitmap.process_doc(s_row["spans"], sample_specs)
+            assert got.get(s_row["doc_id"]) == want, (
+                f"bitmap bench check failed for {s_row['doc_id']}"
+            )
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     return {

@@ -27,13 +27,14 @@ labels in the payload for fixture-exactness; both decode to the same
 PAGE_FEATURES struct).
 
 Geometry contract (the renderer's side of the bargain, all on a 304×400
-upright canvas; the detector classifies by position/shape fractions only):
+upright canvas; the detector classifies by position/shape fractions only —
+inter-band gaps are ≥ 12 px so speckle noise cannot plausibly bridge them):
     doc_title        y [8,24)    x [60,240)   centered, 60% width
-    header           y [32,48)   x [8,296)    full width
-    paragraph_title  y [56,68)   x [8,112)    left, <45% width
-    table            y [80,280)  grid: h-lines every 20 rows, v-lines ×3
-    barcode          y [300,324) x [180,300)  alternating 2-3 px stripes
-    footer           y [360,376) x [8,296)    full width
+    header           y [40,56)   x [8,296)    full width
+    paragraph_title  y [68,84)   x [8,112)    left, <45% width
+    table            y [100,300) grid: h-lines every 20 rows, v-lines ×3
+    barcode          y [320,344) x [180,300)  alternating 2-3 px stripes
+    footer           y [368,384) x [8,296)    full width
     QR (idcard)      116 px box at (20,240)   3 finder patterns
 """
 
@@ -53,17 +54,17 @@ _HEADER = struct.Struct(">4sI")
 PAGE_W, PAGE_H = 304, 400
 
 TITLE_BAND = (60, 8, 240, 24)  # x1, y1, x2, y2
-HEADER_BAND = (8, 32, 296, 48)
-PTITLE_BAND = (8, 56, 112, 68)
-TABLE_BAND = (8, 80, 296, 280)
-FOOTER_BAND = (8, 360, 296, 376)
-BARCODE_TOP, BARCODE_LEFT = 300, 180
+HEADER_BAND = (8, 40, 296, 56)
+PTITLE_BAND = (8, 68, 112, 84)
+TABLE_BAND = (8, 100, 296, 300)
+FOOTER_BAND = (8, 368, 296, 384)
+BARCODE_TOP, BARCODE_LEFT = 320, 180
 QR_TOP, QR_LEFT = 240, 20
 QR_SIZE = 29 * qr.MODULE  # 116
 
 # sidecar text slots (upright coords)
-BODY_SLOT = lambda i: (12, 84 + (i % 9) * 20 + 4, 146, 84 + (i % 9) * 20 + 16)  # noqa: E731
-BOILER_SLOT = (200, 296, 260, 330)  # straddles the expanded barcode box
+BODY_SLOT = lambda i: (12, 104 + (i % 9) * 20, 146, 116 + (i % 9) * 20)  # noqa: E731
+BOILER_SLOT = (200, 316, 260, 350)  # straddles the expanded barcode box
 IDCARD_SLOT = lambda i: (170, 260 + (i % 4) * 20, 290, 272 + (i % 4) * 20)  # noqa: E731
 IDCARD_NOISE_SLOT = (160, 360, 280, 380)  # below the M10 crop → must drop
 
@@ -85,8 +86,10 @@ def _table(img: np.ndarray, band: tuple[int, int, int, int]) -> None:
     x1, y1, x2, y2 = band
     for y in range(y1, y2 + 1, 20):
         img[y : y + 2, x1:x2] = 0
-    for x in (x1, (x1 + x2) // 2, x2 - 2):
-        img[y1:y2, x : x + 2] = 0
+    # 3 px rules: each vertical line spans ≥ 2 decimated columns, so a cell
+    # row clears the detector's speckle threshold on the decimated track
+    for x in (x1, (x1 + x2) // 2, x2 - 3):
+        img[y1:y2, x : x + 3] = 0
 
 
 _KIND_BANDS: dict[str, list[tuple[int, int, int, int]]] = {
@@ -233,21 +236,36 @@ def vertical_distance(b1, b2) -> float:
 # ---------------------------------------------------------------------------
 
 _DECIMATE = 2  # detect on every-2nd-pixel track, rescale bboxes ×2
-_ROW_GAP = 3  # blank decimated rows that split bands (6 full-res rows)
+_ROW_GAP = 2  # blank decimated rows that split bands (4 full-res rows)
 _COL_GAP = 4  # blank decimated cols that split regions (8 full-res cols)
 # A profile entry needs ≥ this many dark pixels to count as content: real
-# scans carry salt-and-pepper speckle, and a single stray pixel must not
+# scans carry salt-and-pepper speckle (fixtures sprinkle up to 200 px ≈
+# λ≈1 noise pixel per decimated profile row), and stray pixels must not
 # bridge a band gap or spawn a phantom region.  Every legitimate structure
-# the renderer draws puts ≥ 2 dark pixels in each of its profile entries
-# even on the decimated track.
-_MIN_PROFILE = 2
+# the renderer draws puts ≥ 4 dark pixels in each of its profile entries
+# even on the decimated track; P(Poisson(1) ≥ 4) ≈ 2%.
+_MIN_PROFILE = 4
 
 
-def _segments(profile: np.ndarray, min_gap: int) -> list[tuple[int, int]]:
+def _segments(
+    profile: np.ndarray, min_gap: int, opening: bool = False
+) -> list[tuple[int, int]]:
     """Content [start, end) runs of a projection profile (entries below the
     speckle threshold are blank), merging runs separated by fewer than
-    min_gap blank entries."""
-    nz = np.flatnonzero(profile >= _MIN_PROFILE)
+    min_gap blank entries.
+
+    ``opening`` additionally drops ISOLATED content entries (no content
+    neighbor on either side) — morphological opening.  Used on the row
+    profile: every legitimate band is ≥ 2 consecutive content rows, while a
+    noise row that cleared the threshold is almost surely alone, and one
+    such row sitting inside an inter-band gap would otherwise chain two
+    bands together."""
+    content = profile >= _MIN_PROFILE
+    if opening and len(content) >= 2:
+        left = np.concatenate(([False], content[:-1]))
+        right = np.concatenate((content[1:], [False]))
+        content = content & (left | right)
+    nz = np.flatnonzero(content)
     if len(nz) == 0:
         return []
     out = []
@@ -289,7 +307,7 @@ def detect_layout(img: np.ndarray) -> list[dict[str, Any]]:
     small = img[::_DECIMATE, ::_DECIMATE] < 128
     regions = []
     row_profile = small.sum(axis=1)
-    for ry1, ry2 in _segments(row_profile, _ROW_GAP):
+    for ry1, ry2 in _segments(row_profile, _ROW_GAP, opening=True):
         band = small[ry1:ry2]
         col_profile = band.sum(axis=0)
         for cx1, cx2 in _segments(col_profile, _COL_GAP):
@@ -360,9 +378,8 @@ def extract_features(blob: bytes) -> dict[str, Any]:
     barcode_boxes = qr.detect_barcodes(work)
     expanded = []
     h_img, w_img = work.shape
-    for x1, y1, x2, y2 in barcode_boxes:
-        dx, dy = int((x2 - x1) * 0.1), int((y2 - y1) * 0.4)
-        ex = (max(0, x1 - dx), max(0, y1 - dy), min(w_img, x2 + dx), min(h_img, y2 + dy))
+    for box in barcode_boxes:
+        ex = qr.expand_barcode_box(box, work.shape)
         expanded.append(ex)
         work[ex[1] : ex[3], ex[0] : ex[2]] = 255
 
@@ -382,12 +399,7 @@ def extract_features(blob: bytes) -> dict[str, Any]:
         and not ({"doc_title", "table"} <= lbl)
     )
     if idcard_like and qr_box is not None:
-        qx1, _, qx2, qy2 = qr_box
-        qw = qx2 - qx1
-        qh = qy2 - qr_box[1]
-        top = max(0, int(qy2 - qh * qr.IDCARD_UP_FACTOR))
-        right = min(w_img, int(qx1 + qw * qr.IDCARD_RIGHT_FACTOR))
-        crop = (max(0, qx1), top, right, qy2)
+        crop = qr.idcard_crop_box(work.shape, qr_box)
         texts = [
             (bb, tx)
             for bb, tx in texts

@@ -31,7 +31,7 @@ from engine.codec import encode_page
 FIXTURE_VERSION = 2
 # The bitmap (SPB1) generator versions independently: changing raster specs
 # (e.g. the round-2 noise speckle) must not invalidate SPG1 corpora.
-BITMAP_FIXTURE_VERSION = 3
+BITMAP_FIXTURE_VERSION = 4
 
 CONTENT_LINES = [
     "التاريخ: 12.04.2025",

@@ -83,9 +83,17 @@ def materialize_run(
 
     Each invocation writes ``spine/run=<run_id>`` with mode=overwrite: a retry
     of the SAME run_id replaces its own partial output instead of appending
-    duplicates, and resume only ever reads _SUCCESS-committed run dirs."""
+    duplicates, and resume only ever reads _SUCCESS-committed run dirs.
+    The run's OWN directory is excluded from the resume anti-join — otherwise
+    a redelivered run_id would see its previous (possibly complete) output,
+    anti-join every doc away, and overwrite the committed spine with an empty
+    one (the exact at-least-once redelivery this function exists to make
+    idempotent)."""
     todo = spans
-    committed = committed_spine_dirs(out_dir) if resume else []
+    own = os.path.join(spine_path(out_dir), f"run={run_id}")
+    committed = (
+        [d for d in committed_spine_dirs(out_dir) if d != own] if resume else []
+    )
     if committed:
         done = spark.read.parquet(*committed).select("doc_id").distinct()
         todo = spans.join(done, "doc_id", "left_anti")

@@ -79,6 +79,11 @@ def _decode_one(raw: bytes | None) -> dict:
         body = page.get("body_text") or ""
         has_qr = bool(page.get("has_qr"))
         rotated = bool(page.get("qr_rotated"))
+        # SPG1 payloads carry only the rotated BOOL; when the angle is absent
+        # (or explicitly null — must not crash a valid page into an error
+        # row) use 90° as the canonical "rotated" representative.  SPB1
+        # payloads measure the true angle from pixels.
+        rot = page.get("qr_rotation")
         return {
             "page_kind": page.get("page_kind"),
             "labels": [r["label"] for r in (page.get("regions") or [])],
@@ -86,7 +91,7 @@ def _decode_one(raw: bytes | None) -> dict:
             "body_lines": body.split("\n") if body else [],
             "has_qr": has_qr,
             "qr_rotated": rotated,
-            "qr_rotation": int(page.get("qr_rotation", 90 if rotated else 0))
+            "qr_rotation": (int(rot) if rot is not None else (90 if rotated else 0))
             if has_qr
             else None,
             "boilerplate": page.get("boilerplate") or [],

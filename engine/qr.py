@@ -102,13 +102,15 @@ def detect_finder_centers(img: np.ndarray, stride: int = 1) -> list[tuple[int, i
     (pdf_processor.py:774-780).
 
     Vectorized prefilter: per-row dark/light transition counts for ALL rows
-    in one numpy pass; only rows whose count could contain the 5-run pattern
-    (≥ 4) without being a barcode band (≤ 30) get the per-row python scan —
-    on text/table pages that eliminates ~all rows, ~4× decode speedup."""
+    in one numpy pass; only rows with enough transitions to contain the
+    5-run pattern (≥ 4) get the per-row python scan — on text/table pages
+    that eliminates ~all rows, ~4× decode speedup.  Deliberately NO upper
+    bound: a finder sharing rows with busy content (dashes, a barcode, dense
+    text) must still be scanned — _ratio_ok rejects the non-QR windows."""
     dark = img < 128
     sub = dark[::stride]
     trans = np.abs(np.diff(sub.astype(np.int8), axis=1)).sum(axis=1)
-    cand_rows = np.flatnonzero((trans >= 4) & (trans <= 30))
+    cand_rows = np.flatnonzero(trans >= 4)
     candidates: list[tuple[int, int]] = []
     for rr in cand_rows:
         y = int(rr) * stride
@@ -198,16 +200,30 @@ def detect_barcodes(img: np.ndarray) -> list[tuple[int, int, int, int]]:
     return boxes
 
 
+BARCODE_EXPAND_W, BARCODE_EXPAND_H = 0.1, 0.4  # preprocessing.py:11-67 factors
+
+
+def expand_barcode_box(
+    box: tuple[int, int, int, int], shape: tuple[int, int]
+) -> tuple[int, int, int, int]:
+    """The reference's (w×0.1, h×0.4) barcode-box expansion, clamped to the
+    image — the ONE home of these constants (whiten + the fused bitmap path
+    both use it; keeping two copies is how they desynchronize)."""
+    x1, y1, x2, y2 = box
+    h_img, w_img = shape
+    dx = int((x2 - x1) * BARCODE_EXPAND_W)
+    dy = int((y2 - y1) * BARCODE_EXPAND_H)
+    return (max(0, x1 - dx), max(0, y1 - dy), min(w_img, x2 + dx), min(h_img, y2 + dy))
+
+
 def whiten_barcodes(img: np.ndarray) -> tuple[np.ndarray, int]:
     """Expand each detected box by (w×0.1, h×0.4) and paint white
     (preprocessing.py:11-67 semantics).  Returns (cleaned copy, n_boxes)."""
     out = img.copy()
     boxes = detect_barcodes(img)
-    h_img, w_img = img.shape
-    for x1, y1, x2, y2 in boxes:
-        dx = int((x2 - x1) * 0.1)
-        dy = int((y2 - y1) * 0.4)
-        out[max(0, y1 - dy) : min(h_img, y2 + dy), max(0, x1 - dx) : min(w_img, x2 + dx)] = 255
+    for box in boxes:
+        x1, y1, x2, y2 = expand_barcode_box(box, img.shape)
+        out[y1:y2, x1:x2] = 255
     return out, len(boxes)
 
 
@@ -227,14 +243,23 @@ def rotate_upright(img: np.ndarray, rotation: int) -> np.ndarray:
     return np.rot90(img, k=k)
 
 
-def idcard_crop(img: np.ndarray, qr_box: tuple[int, int, int, int]) -> np.ndarray:
-    """Crop the id-card region from the (upright) page given the QR bbox:
-    the card extends up ×4.0 and right ×5.8 of the QR size."""
+def idcard_crop_box(
+    shape: tuple[int, int], qr_box: tuple[int, int, int, int]
+) -> tuple[int, int, int, int]:
+    """Id-card crop rectangle [x1,y1,x2,y2] from the QR bbox: the card
+    extends up ×4.0 and right ×5.8 of the QR size (barcode.py:75-179
+    constants).  Shared by idcard_crop and the fused bitmap path."""
     x1, y1, x2, y2 = qr_box
     w, h = x2 - x1, y2 - y1
     top = max(0, int(y2 - h * IDCARD_UP_FACTOR))
-    right = min(img.shape[1], int(x1 + w * IDCARD_RIGHT_FACTOR))
-    return img[top:y2, x1:right]
+    right = min(shape[1], int(x1 + w * IDCARD_RIGHT_FACTOR))
+    return (max(0, x1), top, right, y2)
+
+
+def idcard_crop(img: np.ndarray, qr_box: tuple[int, int, int, int]) -> np.ndarray:
+    """Crop the id-card region from the (upright) page given the QR bbox."""
+    x1, y1, x2, y2 = idcard_crop_box(img.shape, qr_box)
+    return img[y1:y2, x1:x2]
 
 
 QR_RESULT_SCHEMA = StructType(

@@ -342,6 +342,14 @@ def dedup_components(spark, sf_dir):
         comp = new
         if changed == 0:
             break
+    else:
+        # never return silently-wrong labels: a component with graph
+        # distance > the iteration cap would diverge from the recursive-CTE
+        # oracle without this guard
+        raise RuntimeError(
+            "dedup_components did not converge within the iteration cap; "
+            f"{changed} labels still propagating"
+        )
     return comp
 
 

@@ -102,3 +102,20 @@ def test_expire_runs_removes_only_old_dirs(tmp_path):
     # idempotent + missing base dir is a no-op
     assert expire_runs(str(base), keep_hours=72.0) == []
     assert expire_runs(str(tmp_path / "nope")) == []
+
+
+def test_same_run_id_retry_is_idempotent(spark, corpus, tmp_path):
+    """acks_late redelivery: re-running materialize_run with the SAME run_id
+    and input must reproduce the same outputs — not anti-join its own prior
+    output away and overwrite the committed spine with an empty one."""
+    out = str(tmp_path / "run-retry")
+    spans1, blobs = _corpus_half(spark, corpus, 0, 12)
+    r1 = materialize_run(spark, spans1, blobs, out, run_id="r1")
+    n1 = r1["spans_out"].count()
+    lin1 = r1["lineage"].count()
+    assert n1 == 12 and lin1 > 0
+
+    r2 = materialize_run(spark, spans1, blobs, out, run_id="r1")  # redelivery
+    assert r2["spans_out"].count() == n1
+    assert r2["lineage"].count() == lin1
+    assert r2["lineage"].select("doc_id", "offset").distinct().count() == lin1
