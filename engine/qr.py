@@ -67,6 +67,29 @@ def _ratio_ok(runs: list[int]) -> bool:
     return all(abs(r - w) <= tol for r, w in zip(runs, want))
 
 
+_RATIO_WANT = np.array([1.0, 1.0, 3.0, 1.0, 1.0])
+
+
+def _despeckle_1d(dark: np.ndarray) -> np.ndarray:
+    if len(dark) < 3:
+        return dark
+    d = dark.astype(np.int8)
+    sm = dark.copy()
+    sm[1:-1] = (d[:-2] + d[1:-1] + d[2:]) >= 2
+    return sm
+
+
+def _despeckle_rows(dark: np.ndarray) -> np.ndarray:
+    """Whole-matrix 3-tap majority along rows — one vectorized pass instead
+    of one per scanned row (same output as _despeckle_1d per row)."""
+    if dark.shape[1] < 3:
+        return dark
+    d = dark.astype(np.int8)
+    sm = dark.copy()
+    sm[:, 1:-1] = (d[:, :-2] + d[:, 1:-1] + d[:, 2:]) >= 2
+    return sm
+
+
 def _scan_line(line: np.ndarray) -> list[tuple[int, int]]:
     """→ [(center_idx, pattern_width)] of 1:1:3:1:1 matches along one line.
     Accepts grayscale uint8 or a precomputed boolean dark mask.
@@ -74,24 +97,30 @@ def _scan_line(line: np.ndarray) -> list[tuple[int, int]]:
     3-tap majority despeckle first: a single flipped pixel (scanner salt /
     pepper) splits a run and kills the ratio test, while every legitimate
     QR structure is ≥ MODULE (4 px) wide — so the filter removes noise and
-    cannot remove signal."""
-    dark = line if line.dtype == np.bool_ else line < 128
-    if len(dark) >= 3:
-        d = dark.astype(np.int8)
-        sm = dark.copy()
-        sm[1:-1] = (d[:-2] + d[1:-1] + d[2:]) >= 2
-        dark = sm
-    out = []
-    # run-length encode
+    cannot remove signal.  The 5-run sliding ratio test is fully numpy —
+    busy rows (a barcode band has ~100 runs) cost microseconds, which is
+    what lets the row prefilter keep NO upper transition bound."""
+    # bool input = caller already despeckled (detect_finder_centers batches
+    # the filter over the whole matrix); grayscale input = despeckle here
+    dark = _despeckle_1d(line < 128) if line.dtype != np.bool_ else line
     changes = np.flatnonzero(np.diff(dark.astype(np.int8))) + 1
     bounds = np.concatenate(([0], changes, [len(dark)]))
-    runs = [(bool(dark[bounds[i]]), int(bounds[i + 1] - bounds[i])) for i in range(len(bounds) - 1)]
-    for i in range(len(runs) - 4):
-        window = runs[i : i + 5]
-        if window[0][0] and _ratio_ok([w for _, w in window]):
-            start = sum(w for _, w in runs[:i])
-            width = sum(w for _, w in window)
-            out.append((start + width // 2, width))
+    widths = np.diff(bounds)
+    n = len(widths)
+    if n < 5:
+        return []
+    win = np.lib.stride_tricks.sliding_window_view(widths, 5)
+    unit = win.sum(axis=1) / 7.0
+    ok = (np.abs(win - unit[:, None] * _RATIO_WANT) <= (unit * 0.6)[:, None]).all(axis=1)
+    # window must START on a dark run (runs alternate from dark[0])
+    idx = np.arange(n - 4)
+    dark_start = (idx % 2 == 0) if bool(dark[0]) else (idx % 2 == 1)
+    ok &= dark_start
+    out = []
+    for i in np.flatnonzero(ok):
+        start = int(bounds[i])
+        width = int(win[i].sum())
+        out.append((start + width // 2, width))
     return out
 
 
@@ -108,14 +137,23 @@ def detect_finder_centers(img: np.ndarray, stride: int = 1) -> list[tuple[int, i
     bound: a finder sharing rows with busy content (dashes, a barcode, dense
     text) must still be scanned — _ratio_ok rejects the non-QR windows."""
     dark = img < 128
-    sub = dark[::stride]
+    sub = _despeckle_rows(dark[::stride])  # batch the 3-tap filter
+    # column scans are rare (only through row-pattern candidates) —
+    # despeckle those columns lazily instead of filtering the whole image
+    col_cache: dict[int, np.ndarray] = {}
+
+    def col(cx: int) -> np.ndarray:
+        if cx not in col_cache:
+            col_cache[cx] = _despeckle_1d(dark[:, cx])
+        return col_cache[cx]
+
     trans = np.abs(np.diff(sub.astype(np.int8), axis=1)).sum(axis=1)
     cand_rows = np.flatnonzero(trans >= 4)
     candidates: list[tuple[int, int]] = []
     for rr in cand_rows:
         y = int(rr) * stride
         for cx, _w in _scan_line(sub[rr]):
-            col_hits = _scan_line(dark[:, cx])
+            col_hits = _scan_line(col(cx))
             for cy, _h in col_hits:
                 if abs(cy - y) <= _h:  # the row we scanned crosses this pattern
                     candidates.append((cx, cy))
