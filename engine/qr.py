@@ -58,15 +58,7 @@ def render_qr_page(rotation: int = 0, size: int = 29 * MODULE) -> np.ndarray:
     return img
 
 
-def _ratio_ok(runs: list[int]) -> bool:
-    if len(runs) != 5 or any(r <= 0 for r in runs):
-        return False
-    unit = sum(runs) / 7.0
-    tol = unit * 0.6
-    want = [unit, unit, 3 * unit, unit, unit]
-    return all(abs(r - w) <= tol for r, w in zip(runs, want))
-
-
+# 1:1:3:1:1 with tolerance 0.6·unit (unit = window/7) — the QR spec ratios
 _RATIO_WANT = np.array([1.0, 1.0, 3.0, 1.0, 1.0])
 
 
@@ -135,7 +127,7 @@ def detect_finder_centers(img: np.ndarray, stride: int = 1) -> list[tuple[int, i
     5-run pattern (≥ 4) get the per-row python scan — on text/table pages
     that eliminates ~all rows, ~4× decode speedup.  Deliberately NO upper
     bound: a finder sharing rows with busy content (dashes, a barcode, dense
-    text) must still be scanned — _ratio_ok rejects the non-QR windows."""
+    text) must still be scanned — the ratio test rejects the non-QR windows."""
     dark = img < 128
     sub = _despeckle_rows(dark[::stride])  # batch the 3-tap filter
     # column scans are rare (only through row-pattern candidates) —
