@@ -6,11 +6,15 @@ crashed batch can restart from files (/root/reference/app/tasks.py:444-466,
 (tasks.py:534-540), and expires results after 72 h (tasks.py:306-327).  Here:
 
 - ``materialize_run``: write the span spine ONCE (the \"interim\" checkpoint),
-  then derive spans_out / lineage / metrics / conf_hist from the written copy
-  — one pass over the expensive branches regardless of how many outputs are
-  read.  On a cluster this directory is an Iceberg table
-  (``writeTo(...).append()``) and snapshot expiry replaces the retention job;
-  local parquet keeps the layout identical.
+  then derive spans_out / lineage / metrics / conf_hist / run_totals from the
+  written copy — one pass over the expensive branches regardless of how many
+  outputs are read.  Derivation is INCREMENTAL: each run's outputs come from
+  that run's spine only and land in per-run output directories, mirroring the
+  reference's per-PDF interim files (tasks.py:444-466) — an incremental run
+  costs O(new docs), not O(total history).  On a cluster each directory tree
+  is an Iceberg table (``writeTo(...).append()``), snapshot expiry replaces
+  the retention job, and MERGE replaces the heal step (ICEBERG.md); local
+  parquet keeps the layout identical.
 - Resume: each run's spine lands in its own ``spine/run=<id>`` directory and
   only directories carrying a ``_SUCCESS`` commit marker are trusted — a spine
   left half-visible by a crash mid-commit (non-atomic object-store rename,
@@ -19,6 +23,10 @@ crashed batch can restart from files (/root/reference/app/tasks.py:444-466,
   anti-joins the committed doc_ids so only unfinished documents re-run
   (replaces acks_late redelivery with data-level idempotence; on Iceberg the
   marker is the snapshot commit itself).
+- Crash AFTER the spine commit but BEFORE some derived output committed: the
+  spine stays the source of truth — the next materialize_run re-derives the
+  missing output directories from that run's spine (self-healing), never from
+  the whole history.
 """
 
 from __future__ import annotations
@@ -26,15 +34,24 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from engine.assemble import reassemble
-from engine.metrics import conf_histogram_df, lineage_df, metrics_df
+from engine.metrics import conf_histogram_df, lineage_df, metrics_df, run_totals_df
 from engine.pipeline import build_spine
+
+OUTPUT_NAMES = ("spans_out", "lineage", "metrics", "conf_hist", "run_totals")
 
 
 def spine_path(out_dir: str) -> str:
     return os.path.join(out_dir, "spine")
+
+
+def _is_committed(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
+def _run_subdir(out_dir: str, table: str, run_id: str) -> str:
+    return os.path.join(out_dir, table, f"run={run_id}")
 
 
 def committed_spine_dirs(out_dir: str) -> list[str]:
@@ -47,7 +64,7 @@ def committed_spine_dirs(out_dir: str) -> list[str]:
     return sorted(
         os.path.join(spath, d)
         for d in os.listdir(spath)
-        if os.path.isfile(os.path.join(spath, d, "_SUCCESS"))
+        if _is_committed(os.path.join(spath, d))
     )
 
 
@@ -70,6 +87,20 @@ def expire_runs(base_dir: str, keep_hours: float = 72.0) -> list[str]:
     return removed
 
 
+def derive_outputs(spine: DataFrame, run_id: str) -> dict[str, DataFrame]:
+    """All derived output tables for ONE run, computed from that run's spine
+    only.  Runs are disjoint by doc_id (the resume anti-join guarantees it),
+    so per-run spans_out partitions union into the complete table without
+    any cross-run aggregation."""
+    return {
+        "spans_out": reassemble(spine),
+        "lineage": lineage_df(spine, run_id),
+        "metrics": metrics_df(spine, run_id),
+        "conf_hist": conf_histogram_df(spine, run_id),
+        "run_totals": run_totals_df(spine, run_id),
+    }
+
+
 def materialize_run(
     spark: SparkSession,
     spans: DataFrame,
@@ -88,26 +119,49 @@ def materialize_run(
     a redelivered run_id would see its previous (possibly complete) output,
     anti-join every doc away, and overwrite the committed spine with an empty
     one (the exact at-least-once redelivery this function exists to make
-    idempotent)."""
-    todo = spans
-    own = os.path.join(spine_path(out_dir), f"run={run_id}")
+    idempotent).
+
+    Derived outputs are per-run: this run's spans_out/lineage/metrics/
+    conf_hist/run_totals are computed from THIS run's spine and written under
+    ``<table>/run=<run_id>``; earlier runs' committed outputs are reused
+    as-is (re-derived from their spine only if a previous crash left them
+    missing).  The returned frames are the union over all committed runs."""
+    own = _run_subdir(out_dir, "spine", run_id)
     committed = (
         [d for d in committed_spine_dirs(out_dir) if d != own] if resume else []
     )
+    todo = spans
     if committed:
         done = spark.read.parquet(*committed).select("doc_id").distinct()
         todo = spans.join(done, "doc_id", "left_anti")
-    run_dir = os.path.join(spine_path(out_dir), f"run={run_id}")
-    build_spine(spark, todo, blobs).write.mode("overwrite").parquet(run_dir)
+    build_spine(spark, todo, blobs).write.mode("overwrite").parquet(own)
+    if not _is_committed(own):
+        raise RuntimeError(
+            f"spine write to {own} produced no _SUCCESS marker — resume "
+            "requires commit markers; do not disable "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+        )
 
-    full = spark.read.parquet(*committed_spine_dirs(out_dir))
-    out = {
-        "spans_out": reassemble(full),
-        "lineage": lineage_df(full, run_id),
-        "metrics": metrics_df(full, run_id),
-        "conf_hist": conf_histogram_df(full, run_id),
+    # Derive THIS run's outputs from THIS run's spine only (O(new docs));
+    # heal any older run whose derived outputs went missing after its spine
+    # committed (crash between spine commit and output commit).
+    all_spines = committed_spine_dirs(out_dir)
+    out_dirs: dict[str, list[str]] = {name: [] for name in OUTPUT_NAMES}
+    for sdir in all_spines:
+        rid = os.path.basename(sdir).split("=", 1)[1]
+        missing = [
+            name
+            for name in OUTPUT_NAMES
+            if sdir == own or not _is_committed(_run_subdir(out_dir, name, rid))
+        ]
+        if missing:
+            derived = derive_outputs(spark.read.parquet(sdir), rid)
+            for name in missing:
+                derived[name].write.mode("overwrite").parquet(
+                    _run_subdir(out_dir, name, rid)
+                )
+        for name in OUTPUT_NAMES:
+            out_dirs[name].append(_run_subdir(out_dir, name, rid))
+    return {
+        name: spark.read.parquet(*dirs) for name, dirs in out_dirs.items()
     }
-    for name in tuple(out):
-        out[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
-        out[name] = spark.read.parquet(os.path.join(out_dir, name))
-    return out

@@ -69,6 +69,23 @@ def metrics_df(spine: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def run_totals_df(spine: DataFrame, run_id: str) -> DataFrame:
+    """ONE row per run with the exact distinct document count.
+
+    Companion to :func:`metrics_df`: `docs_processed` there is
+    distinct-PER-PARTITION (a doc whose spans straddle partitions appears in
+    several rows), so summing it across partitions overcounts documents.
+    Consumers that want "how many documents did this run process" read this
+    table; the per-partition rows remain the progress/skew view."""
+    return spine.agg(
+        F.lit(run_id).alias("run_id"),
+        F.countDistinct("doc_id").alias("docs_total"),
+        F.count(F.lit(1)).alias("spans_total"),
+        F.sum(F.when(F.col("status") == "kept", 1).otherwise(0)).alias("spans_kept"),
+        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("errors"),
+    )
+
+
 def conf_histogram_df(spine: DataFrame, run_id: str) -> DataFrame:
     """A6 — OCR-confidence histogram (bucket = min(floor(conf*10), 9)),
     keyed by (partition_id, conf_bucket); spans without a confidence

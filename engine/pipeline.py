@@ -28,8 +28,21 @@ from pyspark.storagelevel import StorageLevel
 from engine import textops
 from engine.assemble import reassemble
 from engine.layout import decode_blobs
-from engine.metrics import conf_histogram_df, lineage_df, metrics_df, observed
+from engine.metrics import (
+    conf_histogram_df,
+    lineage_df,
+    metrics_df,
+    observed,
+    run_totals_df,
+)
 from engine.routing import route
+
+# Conf key selecting salted two-phase reassembly for mega-document skew
+# (spans-per-doc heavy tail).  0 = plain single-phase aggregation; N > 0 =
+# N-way salted partials (assemble.reassemble).  A deployment sets this from
+# its corpus stats (e.g. if spans-per-doc p99 exceeds the rows one reducer
+# should hold) without code edits.
+SALT_PARTIALS_CONF = "spark.extraction.saltPartials"
 
 
 @dataclass
@@ -41,6 +54,7 @@ class ExtractionResult:
     spine: DataFrame
     run_id: str
     observation: object = field(default=None)
+    run_totals: DataFrame = field(default=None)
 
     def unpersist(self) -> None:
         self.spine.unpersist()
@@ -200,6 +214,7 @@ def run_extraction(
     blobs: DataFrame,
     run_id: str | None = None,
     persist: bool = False,
+    salt_partials: int | None = None,
 ) -> ExtractionResult:
     """The single public entry: spans + blobs in, three output frames out.
 
@@ -210,18 +225,27 @@ def run_extraction(
     spans_out/lineage/metrics from that (engine.io.materialize_run) — not
     caching it in executor memory.  Set persist=True only for small
     interactive runs that read all three outputs ad hoc.
+
+    ``salt_partials``: explicit salt width for the re-nest aggregation, or
+    None to read ``spark.extraction.saltPartials`` from the session conf
+    (default 0 = unsalted) — the mega-document skew path is reachable by
+    configuration, no code edit (see assemble.reassemble; equal output either
+    way, test-asserted).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    if salt_partials is None:
+        salt_partials = int(spark.conf.get(SALT_PARTIALS_CONF, "0"))
     spine = build_spine(spark, spans, blobs)
     spine, obs = observed(spine)
     if persist:
         spine = spine.persist(StorageLevel.MEMORY_AND_DISK)
     return ExtractionResult(
-        spans_out=reassemble(spine),
+        spans_out=reassemble(spine, salt_partials=salt_partials),
         lineage=lineage_df(spine, run_id),
         metrics=metrics_df(spine, run_id),
         conf_hist=conf_histogram_df(spine, run_id),
         spine=spine,
         run_id=run_id,
         observation=obs,
+        run_totals=run_totals_df(spine, run_id),
     )

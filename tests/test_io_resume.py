@@ -119,3 +119,58 @@ def test_same_run_id_retry_is_idempotent(spark, corpus, tmp_path):
     assert r2["spans_out"].count() == n1
     assert r2["lineage"].count() == lin1
     assert r2["lineage"].select("doc_id", "offset").distinct().count() == lin1
+
+
+def test_incremental_run_derives_outputs_from_own_spine_only(
+    spark, corpus, tmp_path
+):
+    """An incremental run's derived outputs are O(new docs): its spans_out
+    run-dir contains ONLY the docs processed by that run, and derive_outputs'
+    scan set is exactly that run's spine directory — not the whole history."""
+    import os
+
+    from engine.io import derive_outputs, spine_path
+
+    out = str(tmp_path / "run-inc")
+    spans1, blobs = _corpus_half(spark, corpus, 0, 30)
+    materialize_run(spark, spans1, blobs, out, run_id="r1")
+    spans_all, _ = _corpus_half(spark, corpus, 0, 60)
+    r2 = materialize_run(spark, spans_all, blobs, out, run_id="r2")
+
+    docs1 = {r["doc_id"] for r in spans1.select("doc_id").collect()}
+    r2_out = spark.read.parquet(os.path.join(out, "spans_out", "run=r2"))
+    r2_docs = {r["doc_id"] for r in r2_out.select("doc_id").collect()}
+    assert r2_docs and r2_docs.isdisjoint(docs1)  # only the NEW 30 docs
+    assert r2["spans_out"].count() == 60  # union view is still complete
+    # run_totals: one exact row per run, additive across runs
+    totals = {r["run_id"]: r["docs_total"] for r in r2["run_totals"].collect()}
+    assert totals == {"r1": 30, "r2": 30}
+
+    # scan-set proof: every file feeding the derivation lives under r2's spine
+    r2_spine_dir = os.path.join(spine_path(out), "run=r2")
+    for name, df in derive_outputs(
+        spark.read.parquet(r2_spine_dir), "r2"
+    ).items():
+        files = df.inputFiles()
+        assert files, name
+        assert all(r2_spine_dir in f for f in files), (name, files)
+
+
+def test_missing_derived_outputs_self_heal(spark, corpus, tmp_path):
+    """Crash between spine commit and output commit: the next run re-derives
+    the missing output dirs from that run's spine — the union view never
+    loses a committed run's rows."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "run-heal")
+    spans1, blobs = _corpus_half(spark, corpus, 0, 30)
+    materialize_run(spark, spans1, blobs, out, run_id="r1")
+    shutil.rmtree(os.path.join(out, "spans_out", "run=r1"))  # lost output
+    os.remove(os.path.join(out, "lineage", "run=r1", "_SUCCESS"))  # partial
+
+    spans_all, _ = _corpus_half(spark, corpus, 0, 60)
+    r2 = materialize_run(spark, spans_all, blobs, out, run_id="r2")
+    assert r2["spans_out"].count() == 60
+    total_spans = sum(len(r["spans"]) for r in corpus[0])
+    assert r2["lineage"].count() == total_spans

@@ -152,6 +152,40 @@ def test_salted_reassembly_equals_default(spark, corpus, corpus_dfs):
     assert len(a["mega"]) == 3000
 
 
+def test_salt_conf_selects_salted_pipeline_end_to_end(spark, corpus, corpus_dfs):
+    """The mega-doc skew path is reachable by configuration alone:
+    spark.extraction.saltPartials > 0 routes run_extraction through salted
+    two-phase reassembly, with output identical to the unsalted run."""
+    from engine.pipeline import SALT_PARTIALS_CONF, run_extraction
+
+    spans, blobs = corpus_dfs
+    plain = _collect_spans_out(run_extraction(spark, spans, blobs, run_id="p"))
+    spark.conf.set(SALT_PARTIALS_CONF, "8")
+    try:
+        res = run_extraction(spark, spans, blobs, run_id="s")
+        # plan proof the conf took effect: two aggregate phases on the way
+        # to spans_out (partial arrays per salt, then flatten per doc)
+        plan = res.spans_out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Aggregate") >= 2
+        assert _collect_spans_out(res) == plain
+    finally:
+        spark.conf.set(SALT_PARTIALS_CONF, "0")
+
+
+def test_run_totals_exact_doc_count(spark, corpus, corpus_dfs):
+    """run_totals is the naively-summable companion to the per-partition
+    metrics rows: exactly one row per run, docs_total = distinct documents."""
+    from engine.pipeline import run_extraction
+
+    spans, blobs = corpus_dfs
+    res = run_extraction(spark, spans, blobs, run_id="tot")
+    [row] = res.run_totals.collect()
+    assert row["run_id"] == "tot"
+    assert row["docs_total"] == spans.count()
+    total_spans = sum(len(r["spans"]) for r in corpus[0])
+    assert row["spans_total"] == total_spans
+
+
 def test_null_kind_becomes_error_lineage(spark):
     """A null span kind must surface as bad_kind error lineage — ~isin() alone
     would evaluate NULL and silently drop it from every branch."""
