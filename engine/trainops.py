@@ -264,12 +264,103 @@ def dedup_simhash(spark, sf_dir):
 # pair: candidate pairs from MinHash-LSH form a graph whose connected
 # components are the duplicate groups (keep min doc_id per component).
 # Spark side: iterative min-label propagation (the standard large-graph CC —
-# GraphFrames is just this loop), each step an equi-join + min agg, lineage
-# truncated per step with localCheckpoint so the plan stays O(1) per
-# iteration.  Components from near-dup copies have tiny diameter, so the
-# loop converges in a few steps; convergence is CHECKED, not assumed.
+# GraphFrames is just this loop), each step an equi-join + min agg.
+# Components from near-dup copies have tiny diameter, so the loop converges
+# in a few steps; convergence is CHECKED, not assumed.
 # DuckDB oracle: recursive-CTE transitive closure + min-reachable-id — a
 # completely different evaluation strategy arriving at the same labels.
+
+CHECKPOINT_DIR_CONF = "spark.extraction.checkpointDir"
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 24,
+    check_every: int = 3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components over a SYMMETRIC edge list (doc_a, doc_b) →
+    (doc_id, comp) with comp = min reachable doc_id.
+
+    Scale discipline (the 100 TB concerns, addressed explicitly):
+
+    - **Lineage truncation is a RELIABLE checkpoint** when a checkpoint dir
+      is available (``sc.setCheckpointDir`` or the
+      ``spark.extraction.checkpointDir`` conf) — localCheckpoint blocks are
+      executor-local and die with the executor, which on a 1000-executor run
+      of a 15-round loop is a near-certainty; falls back to localCheckpoint
+      only in dir-less local runs.
+    - **Driver round-trips run at a cadence**, not per iteration: labels are
+      monotone non-increasing under min-propagation, so "no change across a
+      ``check_every``-iteration window" is equivalent to convergence.  Each
+      window costs one eager checkpoint job + one count() instead of two
+      jobs per iteration.
+    - **Convergence is checked, never assumed**: raises instead of returning
+      silently-wrong partial labels for a component whose graph diameter
+      exceeds the iteration cap.
+    """
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        conf_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+        if conf_dir:
+            sc.setCheckpointDir(conf_dir)
+    reliable = sc.getCheckpointDir() is not None
+
+    def truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    edges = truncate(edges)
+    comp = truncate(
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+    )
+    last_checked = comp
+    iterations = checks = 0
+    converged = False
+    for it in range(1, max_iterations + 1):
+        nb = (
+            edges.join(
+                comp.select(F.col("doc_id").alias("nb_id"), F.col("comp").alias("nb_comp")),
+                edges["doc_b"] == F.col("nb_id"),
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nb_comp").alias("nb_comp"))
+        )
+        comp = comp.join(nb, comp["doc_id"] == nb["doc_a"], "left").select(
+            "doc_id",
+            F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        iterations = it
+        if it % check_every == 0 or it == max_iterations:
+            comp = truncate(comp)
+            checks += 1
+            changed = (
+                comp.alias("n")
+                .join(last_checked.alias("o"), "doc_id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            if changed == 0:
+                converged = True
+                break
+            last_checked = comp
+    if stats is not None:
+        stats.update(
+            iterations=iterations,
+            convergence_checks=checks,
+            converged=converged,
+            reliable_checkpoint=reliable,
+        )
+    if not converged:
+        raise RuntimeError(
+            "connected_components did not converge within "
+            f"{max_iterations} iterations; labels still propagating"
+        )
+    return comp
 
 
 @_q(
@@ -307,50 +398,8 @@ def dedup_components(spark, sf_dir):
     )
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    comp = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(15):
-        nb = (
-            edges.join(
-                comp.select(F.col("doc_id").alias("nb_id"), F.col("comp").alias("nb_comp")),
-                edges["doc_b"] == F.col("nb_id"),
-            )
-            .groupBy("doc_a")
-            .agg(F.min("nb_comp").alias("nb_comp"))
-        )
-        new = (
-            comp.join(nb, comp["doc_id"] == nb["doc_a"], "left")
-            .select(
-                "doc_id",
-                F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.alias("n")
-            .join(comp.alias("o"), "doc_id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        comp = new
-        if changed == 0:
-            break
-    else:
-        # never return silently-wrong labels: a component with graph
-        # distance > the iteration cap would diverge from the recursive-CTE
-        # oracle without this guard
-        raise RuntimeError(
-            "dedup_components did not converge within the iteration cap; "
-            f"{changed} labels still propagating"
-        )
-    return comp
+    return connected_components(edges)
 
 
 _BPE_RE = r"'(?:s|t|re|ve|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

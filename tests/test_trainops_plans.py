@@ -41,3 +41,39 @@ def test_hamming_bands_cover_distance_2():
         covered.extend(range(shift, shift + width))
     assert sorted(covered) == list(range(16))
     assert len(trainops._HAM_BANDS) >= 3  # d + 1 bands for d = 2
+
+
+def _chain_edges(spark, n):
+    """Path graph 0-1-2-...-(n-1), symmetric edge list — diameter n-1, the
+    worst case for per-hop label propagation."""
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    rows = [{"doc_a": a, "doc_b": b} for a, b in pairs] + [
+        {"doc_a": b, "doc_b": a} for a, b in pairs
+    ]
+    return spark.createDataFrame(rows, "doc_a: long, doc_b: long")
+
+
+def test_connected_components_chain_converges_at_cadence(spark, tmp_path):
+    """Deep-chain fixture: every node labels down to 0, convergence checks
+    run at the cadence (not per iteration), and lineage truncation uses a
+    RELIABLE checkpoint once a dir is configured."""
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(str(tmp_path / "cc-ckpt"))
+    stats = {}
+    comp = trainops.connected_components(
+        _chain_edges(spark, 12), max_iterations=24, check_every=3, stats=stats
+    )
+    labels = {r["doc_id"]: r["comp"] for r in comp.collect()}
+    assert labels == {i: 0 for i in range(12)}
+    assert stats["converged"] and stats["reliable_checkpoint"]
+    # diameter 11 needs >= 11 propagation rounds; driver checks at cadence 3
+    assert stats["iterations"] >= 11
+    assert stats["convergence_checks"] <= stats["iterations"] // 3 + 1
+
+
+def test_connected_components_raises_instead_of_partial_labels(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        trainops.connected_components(
+            _chain_edges(spark, 12), max_iterations=3, check_every=3
+        )
