@@ -371,6 +371,68 @@ def x_documents_by_mode(spark, sf_dir):
     )
 
 
+@_q(
+    "x_audit_documents",
+    "E3 validation audit (validator.py:24-108 contract, recompute-and-compare): "
+    "canonical documents synthesized with a deterministic defect per doc_id%5 "
+    "(clean / footer mismatch / empty code / unnamed section / amount≠unit×qty) "
+    "are audited; the oracle restates the expected (mistakes, score) "
+    "arithmetically",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CASE doc_id % 5 WHEN 1 THEN 'footer_total_mismatch'
+                           WHEN 2 THEN 'empty_item_code'
+                           WHEN 3 THEN 'unnamed_section'
+                           WHEN 4 THEN 'amount_neq_price_times_qty'
+                           ELSE '' END AS mistakes_csv,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 100.0 ELSE 75.0 END AS DOUBLE) AS score
+    FROM documents
+    """,
+)
+def x_audit_documents(spark, sf_dir):
+    from engine.validate import audit_documents
+
+    k = F.col("doc_id") % 5
+    nul = F.lit(None).cast("string")
+    item = F.struct(
+        nul.alias("service_description_en"),
+        F.lit("خدمة").alias("service_description_ar"),
+        F.when(k == 2, F.lit("")).otherwise(
+            F.concat(F.lit("C"), F.col("doc_id").cast("string"))
+        ).alias("code"),
+        nul.alias("date"),
+        nul.alias("time"),
+        F.lit("10.0").alias("unit_price"),
+        nul.alias("company_price"),
+        nul.alias("patient_price"),
+        nul.alias("net_price"),
+        F.lit("2").alias("quantity"),
+        F.when(k == 4, F.lit("999.0")).otherwise(F.lit("20.0")).alias("amount"),
+    )
+    section = F.struct(
+        F.when(k == 3, nul).otherwise(F.lit("قسم")).alias("section_name"),
+        F.lit("20.0").alias("section_subtotal"),
+        F.array(item).alias("items"),
+    )
+    footer = F.struct(
+        F.when(k == 1, F.lit("99.0")).otherwise(F.lit("20.0")).alias(
+            "net_total_amount"
+        ),
+        nul.alias("paid"),
+        nul.alias("amount_due"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(section).alias("sections"),
+        footer.alias("footer"),
+    )
+    return audit_documents(docs).select(
+        "doc_id",
+        F.array_join("mistakes", ",").alias("mistakes_csv"),
+        "score",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Full pipeline over the interleaved corpus; returns exploded spans_out."""
     spans, blobs = interleaved_corpus(spark, sf_dir)
