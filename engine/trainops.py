@@ -742,6 +742,82 @@ def sim_lsh_multiprobe(spark, sf_dir):
     )
 
 
+@_q(
+    "sim_batch_topk",
+    "similarity search — BATCHED multi-query ANN, the shape a training-data "
+    "pipeline actually runs: a queries table (every 97th vector) explodes "
+    "into its probe buckets (home + 8 Hamming-1 neighbors), candidates come "
+    "from an EQUI-join on bucket (no per-query scan, no cross join), then "
+    "exact cosine + per-query top-k via window",
+    f"""
+    WITH bl AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+      FROM bl WHERE vec_id % 97 = 0
+    ),
+    cand AS (
+      SELECT q.q_id, e.vec_id,
+             round(
+               list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                list_transform(q.q_emb, x -> x::DOUBLE))
+               / (sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                        list_transform(e.embedding, x -> x::DOUBLE)))
+                * sqrt(list_dot_product(list_transform(q.q_emb, x -> x::DOUBLE),
+                                        list_transform(q.q_emb, x -> x::DOUBLE)))),
+               4) AS cos
+      FROM bl e JOIN q
+        ON bit_count(xor(e.bucket::BIGINT, q.q_bucket::BIGINT)) <= 1
+       AND e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos, rn FROM (
+      SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+                  AS INTEGER) AS rn
+      FROM cand
+    ) WHERE rn <= 5
+    """,
+)
+def sim_batch_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_col(F.col("embedding")))
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    # Hamming-1 probe expansion on the QUERY side (9 rows per query) so the
+    # candidate step is a plain equi-join bucket == probe — the only join
+    # shape that survives 10^9 queries × 10^12 vectors (a theta-join on
+    # bit_count(xor) would be a cross product; the oracle may state it that
+    # way because DuckDB's planner is free to nested-loop a tiny table).
+    probes = queries.select(
+        "q_id",
+        "q_emb",
+        F.explode(
+            F.array(
+                F.col("q_bucket"),
+                *[
+                    F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(_LSH_PLANES)
+                ],
+            )
+        ).alias("probe"),
+    )
+    cand = emb.join(probes, emb["bucket"] == probes["probe"]).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = cand.select(
+        "q_id", "vec_id", _cos(F.col("embedding"), F.col("q_emb")).alias("cos")
+    )
+    win = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cos", "rn")
+    )
+
+
 # =========================================================================
 # Text analysis
 # =========================================================================

@@ -21,6 +21,7 @@ _PAIRING_QUERIES = [
     trainops.dedup_ngram_jaccard,
     trainops.dedup_simhash_hamming,
     trainops.dedup_embedding_cosine,
+    trainops.sim_batch_topk,
 ]
 
 _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
