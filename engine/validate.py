@@ -90,3 +90,79 @@ def audit_documents(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", mistakes.alias("mistakes"), score.alias("score")
     )
+
+
+def audit_media_vs_pixels(spine: DataFrame, blobs: DataFrame) -> DataFrame:
+    """Image-grounded audit (the deterministic analogue of the reference's
+    look-at-the-page-image judge, validator.py:24-108): re-decode every blob
+    FROM PIXELS, re-run the routing predicates on the re-detected title/
+    layout, and diff against what the spine claims for that media span.
+
+    Catches anything that corrupted the claimed extraction after (or
+    despite) decode: a bad resume mixing spine versions, a salted path
+    dropping rows, sink corruption, or a routing regression — because the
+    verdict is derived from the source raster again, not trusted from the
+    struct under audit.
+
+    Checks per media span:
+      V5 mode_mismatch    claimed mode != mode re-elected from pixels
+      V6 kept_but_skippable  span kept although pixel routing says skip/error
+      V7 skipped_but_processable  span skipped/errored although pixel routing
+                          found a processable page (empty-text skips exempt)
+    Returns the audit contract: (doc_id, mistakes array<string>, score).
+    """
+    from engine.layout import decode_blobs
+    from engine.routing import route
+
+    fresh = decode_blobs(blobs)
+    mode2, skip2 = route(F.col("feats"))
+    fresh = fresh.select(
+        "media_ref",
+        mode2.alias("px_mode"),
+        F.coalesce(skip2, F.col("feats.decode_error")).alias("px_skip"),
+        F.lit(True).alias("px_seen"),
+    )
+    media = spine.filter(F.col("kind") == "media").select(
+        "doc_id", "media_ref", "mode", "status", "reason"
+    )
+    j = media.hint("SHUFFLE_HASH").join(fresh, "media_ref", "left").withColumn(
+        # a media_ref with no blob row IS a pixel-level verdict: skip/error
+        "px_skip",
+        F.when(F.col("px_seen").isNull(), F.lit("missing_blob")).otherwise(
+            F.col("px_skip")
+        ),
+    )
+
+    v5 = _check(
+        "mode_mismatch",
+        F.lit(True),
+        F.coalesce(F.col("mode"), F.lit("")) == F.coalesce(F.col("px_mode"), F.lit("")),
+    )
+    v6 = _check(
+        "kept_but_skippable",
+        F.col("status") == "kept",
+        F.col("px_skip").isNull(),
+    )
+    v7 = _check(
+        "skipped_but_processable",
+        F.col("status").isin("skipped", "error") & (F.coalesce(F.col("reason"), F.lit("")) != "empty"),
+        F.col("px_skip").isNotNull(),
+    )
+    checks = F.array(v5, v6, v7)
+    per_span = j.select(
+        "doc_id",
+        F.aggregate(checks, F.lit(0), lambda a, c: a + c["applicable"]).alias("app"),
+        F.aggregate(checks, F.lit(0), lambda a, c: a + c["passed"]).alias("ok"),
+        F.filter(
+            F.transform(checks, lambda c: c["mistake"]), lambda m: m.isNotNull()
+        ).alias("mistakes"),
+    )
+    agg = per_span.groupBy("doc_id").agg(
+        F.sum("app").alias("app"),
+        F.sum("ok").alias("ok"),
+        F.array_distinct(F.flatten(F.collect_list("mistakes"))).alias("mistakes"),
+    )
+    score = F.when(F.col("app") == 0, F.lit(100.0)).otherwise(
+        F.round(F.col("ok") * 100.0 / F.col("app"), 1)
+    )
+    return agg.select("doc_id", "mistakes", score.alias("score"))

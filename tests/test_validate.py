@@ -64,3 +64,51 @@ def test_audit_scores(spark):
     }
     assert got["bad_items"]["score"] == 50.0
     assert got["empty"]["score"] == 100.0
+
+
+def test_pixel_audit_over_bitmap_corpus(spark):
+    """Image-grounded E3 (validator.py:24-108 analogue): a clean extraction
+    over the SPB1 flagship corpus audits to 100 everywhere; tampering with
+    the spine's claims is caught by re-deriving the verdict from pixels."""
+    import pyspark.sql.functions as F
+
+    from engine.entry import interleaved_corpus
+    from engine.pipeline import run_extraction
+    from engine.validate import audit_media_vs_pixels
+
+    spans, blobs = interleaved_corpus(spark, "/root/testdata/sf0.001")
+    spans = spans.limit(40)
+    res = run_extraction(spark, spans, blobs, run_id="px-audit")
+    spine = res.spine.localCheckpoint(eager=True)  # freeze claims under audit
+
+    clean = audit_media_vs_pixels(spine, blobs).collect()
+    assert clean and all(r["score"] == 100.0 and r["mistakes"] == [] for r in clean)
+
+    # tamper 1: flip the claimed mode on one doc's media span
+    # tamper 2: claim a skipped span was kept
+    media_docs = sorted(
+        r["doc_id"]
+        for r in spine.filter(
+            (F.col("kind") == "media") & (F.col("status") == "kept")
+        ).select("doc_id").collect()
+    )
+    victim = media_docs[0]
+    skipped = spine.filter(
+        (F.col("kind") == "media") & (F.col("status") == "skipped")
+    ).select("doc_id").limit(1).collect()[0]["doc_id"]
+    is_media = F.col("kind") == "media"
+    tampered = spine.withColumn(
+        "mode",
+        F.when(is_media & (F.col("doc_id") == victim), F.lit("massara")).otherwise(
+            F.col("mode")
+        ),
+    ).withColumn(
+        "status",
+        F.when(is_media & (F.col("doc_id") == skipped), F.lit("kept")).otherwise(
+            F.col("status")
+        ),
+    )
+    flagged = {r["doc_id"]: r for r in audit_media_vs_pixels(tampered, blobs).collect()}
+    assert "mode_mismatch" in flagged[victim]["mistakes"]
+    assert flagged[victim]["score"] < 100.0
+    assert "kept_but_skippable" in flagged[skipped]["mistakes"]
