@@ -69,7 +69,9 @@ def spot_check(spans_rows, blob_rows, got_rows) -> None:
         for r in got_rows
     }
     for doc_id, expected in want.items():
-        assert got.get(doc_id) == expected, f"bench correctness check failed for {doc_id}"
+        # explicit raise (python -O strips asserts — see bitmap check below)
+        if got.get(doc_id) != expected:
+            raise RuntimeError(f"bench correctness check failed for {doc_id}")
 
 
 def run_extraction_bench(spark, n_docs: int) -> dict:
@@ -169,9 +171,12 @@ def run_bitmap_extraction_bench(spark, n_docs: int) -> dict:
         }
         for s_row in sample_rows:
             want, _ = oracle_bitmap.process_doc(s_row["spans"], sample_specs)
-            assert got.get(s_row["doc_id"]) == want, (
-                f"bitmap bench check failed for {s_row['doc_id']}"
-            )
+            # explicit raise, not `assert`: python -O strips asserts and would
+            # silently turn this bench into timing-only with no value gate
+            if got.get(s_row["doc_id"]) != want:
+                raise RuntimeError(
+                    f"bitmap bench check failed for {s_row['doc_id']}"
+                )
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     return {

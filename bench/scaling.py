@@ -97,6 +97,10 @@ def main() -> None:
     bhi = run_level(n4, str(bdir), args.runs, arrow_batch=256)
     beff = bhi["docs_per_sec"] / (4 * blo["docs_per_sec"])
     bnorm = beff / ceiling["efficiency"] if ceiling["efficiency"] else None
+    # preformatted for the markdown template — None (no usable CPU ceiling)
+    # must render as n/a, not raise TypeError on :.3f
+    norm_s = f"{norm:.3f}" if norm is not None else "n/a"
+    bnorm_s = f"{bnorm:.3f}" if bnorm is not None else "n/a"
 
     report = {
         "protocol": f"same job, same input, pinned local[{n}] vs local[{n4}]",
@@ -154,7 +158,7 @@ are ~120 KB each).
 | local[{n4}] (pinned) | {bhi['seconds']} | {bhi['docs_per_sec']} |
 
 **Bitmap scaling efficiency: {beff:.3f}** → {"PASS" if beff >= 0.8 else "FAIL"}
-(machine-normalized {bnorm:.3f}).
+(machine-normalized {bnorm_s}).
 
 ## Machine ceiling (context)
 
@@ -162,7 +166,7 @@ This sandbox VM itself scales sub-linearly for pure in-process CPU work (a
 no-Spark md5 burn over pinned process pools — no shuffles, no JVM, no Python
 workers): efficiency {ceiling['efficiency']:.3f} over the same {n}→{n4} step
 (walls: {ceiling['wall']}).  Machine-normalized pipeline efficiency
-(pipeline ÷ ceiling): **{norm:.3f}**.  On a real multi-host cluster each
+(pipeline ÷ ceiling): **{norm_s}**.  On a real multi-host cluster each
 executor brings its own memory bandwidth, so the hypervisor/bandwidth
 component of the loss does not apply.
 

@@ -49,6 +49,27 @@ def get_spark(
         # modest inputs.  At cluster scale this is the per-executor knob too.
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
+    if os.environ.get("SPARK_GRAFT_ICEBERG") == "1":
+        # Opt-in Iceberg catalog wiring (ICEBERG.md) — requires the
+        # iceberg-spark-runtime jar on the classpath; the sandbox has none,
+        # so this path is exercised only on a real deployment.
+        builder = (
+            builder.config(
+                "spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog"
+            )
+            .config(
+                "spark.sql.catalog.lake.type",
+                os.environ.get("SPARK_GRAFT_ICEBERG_CATALOG", "hadoop"),
+            )
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config("spark.sql.sources.v2.bucketing.enabled", "true")
+        )
+        warehouse = os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE")
+        if warehouse:
+            builder = builder.config("spark.sql.catalog.lake.warehouse", warehouse)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
