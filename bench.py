@@ -11,6 +11,7 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   SPARK_GRAFT_BENCH_DOCS  extraction corpus size override
+  SPARK_GRAFT_BENCH_REPEATS  best-of-N repeats per timed unit (default 3)
 """
 
 from __future__ import annotations
@@ -25,6 +26,24 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F  # noqa: E402
+
+# best-of-N repeats; the minimum is the engine truth under this VM's bimodal
+# hypervisor stalls (see headline loop comment)
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _host_burn(n: int = 6_000_000) -> float:
+    """Single-core md5 burn — a pure-CPU host-speed receipt embedded in the
+    bench JSON so cross-round comparisons can be normalized for host state
+    (BENCH/BASELINE.md documents identical engine runs degrading ~2x while
+    this number tracked the degradation)."""
+    import hashlib
+
+    h = b"x" * 64
+    t0 = time.time()
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return round(time.time() - t0, 2)
 
 import engine.entry  # noqa: E402,F401  (registers queries)
 import engine.multimodal  # noqa: E402,F401
@@ -79,7 +98,7 @@ def run_extraction_bench(spark, n_docs: int) -> dict:
     spans = spark.read.parquet(f"{cdir}/spans")
     blobs = spark.read.parquet(f"{cdir}/media_blobs")
     elapsed, out_spans = None, None
-    for _ in range(2):  # best-of-2 (see headline loop)
+    for _ in range(REPEATS):  # best-of-N (see headline loop)
         t0 = time.time()
         res = run_extraction(spark, spans, blobs, run_id="bench")
         out_spans = res.spans_out.agg(
@@ -138,7 +157,7 @@ def run_bitmap_extraction_bench(spark, n_docs: int) -> dict:
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
     try:
         elapsed, out = None, None
-        for _ in range(2):
+        for _ in range(REPEATS):
             t0 = time.time()
             res = run_extraction(spark, spans, blobs, run_id="bench-bitmap")
             out = res.spans_out.agg(
@@ -206,16 +225,23 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    burn_before = _host_burn()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = None
-        for _ in range(2):  # best-of-2: hypervisor noise on this VM is real
+    # best-of-N with INTERLEAVED rounds: this VM's hypervisor noise is
+    # BIMODAL and bursty (identical re-runs of a pure-JVM query measured
+    # 0.69 s and 2.35 s in one session, with jvm sys-time storms as
+    # receipts).  The minimum is the engine truth; running round-robin over
+    # the whole query list instead of N back-to-back repeats spreads one
+    # query's repeats minutes apart, so a single stall window cannot swallow
+    # all of them.
+    for _ in range(REPEATS):
+        for name in HEADLINE:
             t0 = time.time()
             df = builders[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     ext = run_extraction_bench(spark, n_docs)
     timings["extraction_e2e"] = ext["seconds"]
@@ -239,7 +265,7 @@ def main() -> None:
     ).spans_out.write.mode("overwrite").parquet(so_dir)
     spans_out = spark.read.parquet(so_dir)  # isolate parse timing from extraction
     best = None
-    for _ in range(2):
+    for _ in range(REPEATS):
         t0 = time.time()
         extract_documents(spans_out).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
@@ -258,6 +284,11 @@ def main() -> None:
                 "extraction": ext,
                 "extraction_bitmap": ext_bmp,
                 "cpus": cpus,
+                "repeats": REPEATS,
+                # pure-CPU host-speed receipts (single-core 6M-round md5):
+                # compare across rounds before reading wall-clock deltas as
+                # engine changes — this VM's speed swings ~2x within a session
+                "host_burn_seconds": {"before": burn_before, "after": _host_burn()},
             }
         )
     )

@@ -42,6 +42,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pin the heap (-Xms == -Xmx) and pre-touch it: without this, G1
+        # repeatedly uncommits idle regions and re-commits them at the next
+        # query, and the kernel-side page churn showed up as 300+ s of JVM
+        # *system* time on identical re-runs (measured: dedup_minhash_lsh at
+        # sf0.1/32c swung 3.2-21.8 s; pinned heap bounds it at 3.9-6.6 s with
+        # jvm_sys 5-13 s).  On a cluster the same flags belong in
+        # spark.executor.extraJavaOptions (-Xmx itself must stay under
+        # spark.{driver,executor}.memory control).
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Media payloads are decoded on the SCAN partitions (no payload
