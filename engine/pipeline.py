@@ -92,6 +92,7 @@ def _row_local_branch(ex: DataFrame) -> DataFrame:
         .alias("reason"),
         F.lit(None).cast("double").alias("conf"),
         F.lit(None).cast("string").alias("mode"),
+        F.lit(None).cast("int").alias("qr_rotation"),
     )
 
 
@@ -182,6 +183,10 @@ def _media_branch(ex: DataFrame, blobs: DataFrame) -> DataFrame:
         .alias("reason"),
         feats["conf"].alias("conf"),
         "mode",
+        # per-span rotation lineage (M9): which pages arrived rotated and by
+        # how much — downstream quality dashboards read this off the spine
+        # instead of re-decoding
+        feats["qr_rotation"].alias("qr_rotation"),
     )
 
 

@@ -186,6 +186,27 @@ def test_run_totals_exact_doc_count(spark, corpus, corpus_dfs):
     assert row["spans_total"] == total_spans
 
 
+def test_spine_carries_qr_rotation_lineage(spark, corpus_dfs):
+    """M9 per-span rotation lineage: the spine exposes qr_rotation for media
+    spans (nullable, text spans null) so consumers don't re-decode pixels to
+    learn which pages arrived rotated."""
+    import pyspark.sql.functions as F
+
+    from engine.pipeline import build_spine
+
+    spans, blobs = corpus_dfs
+    spine = build_spine(spark, spans, blobs)
+    assert "qr_rotation" in spine.columns
+    rows = (
+        spine.groupBy("kind")
+        .agg(F.count(F.col("qr_rotation")).alias("with_rot"))
+        .collect()
+    )
+    counts = {r["kind"]: r["with_rot"] for r in rows}
+    assert counts.get("text", 0) == 0  # text spans never carry a rotation
+    assert counts.get("media", 0) > 0  # decoded pages do
+
+
 def test_null_kind_becomes_error_lineage(spark):
     """A null span kind must surface as bad_kind error lineage — ~isin() alone
     would evaluate NULL and silently drop it from every branch."""
