@@ -215,7 +215,7 @@ def main() -> None:
         sf = -1.0
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(200, int(sf * 40000)))))
 
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark = get_spark("bench", cores=cpus)  # shuffle partitions: session default (2x cores)
     builders = {q.name: q.build for q in registry()}
 
     # warm the JVM / python workers / codegen once so the first headline

@@ -55,17 +55,24 @@ def _burn(n: int) -> int:
     return 1
 
 
-def raw_cpu_ceiling(n: int, n4: int, total: int = 24_000_000) -> dict:
+def raw_cpu_ceiling(n: int, n4: int, total: int = 24_000_000, rounds: int = 3) -> dict:
     """Fixed CPU work split over N vs 4N pinned processes — the machine's own
-    scaling ceiling, independent of Spark."""
-    walls = {}
-    for procs in (n, n4):
-        with mp.Pool(procs) as pool:
-            t0 = time.time()
-            pool.map(_burn, [total // procs] * procs)
-            walls[procs] = time.time() - t0
+    scaling ceiling, independent of Spark.  Levels are measured INTERLEAVED
+    and best-of-``rounds`` per level: this VM's hypervisor stalls are bursty,
+    so consecutive measurement of one level can land entirely inside a stall
+    and produce a nonsense ratio (observed: a ceiling "efficiency" of 1.18 —
+    impossible — from one stalled N-level wall)."""
+    walls = {n: None, n4: None}
+    for _ in range(rounds):
+        for procs in (n, n4):
+            with mp.Pool(procs) as pool:
+                t0 = time.time()
+                pool.map(_burn, [total // procs] * procs)
+                w = time.time() - t0
+            if walls[procs] is None or w < walls[procs]:
+                walls[procs] = w
     eff = walls[n] / (4 * walls[n4])
-    return {"wall": walls, "efficiency": round(eff, 3)}
+    return {"wall": {k: round(v, 2) for k, v in walls.items()}, "efficiency": round(eff, 3)}
 
 
 def main() -> None:
@@ -87,14 +94,26 @@ def main() -> None:
         fixtures.write_bitmap_corpus(str(bdir), args.bitmap_docs, seed=SEED)
 
     ceiling = raw_cpu_ceiling(n, n4)
-    lo = run_level(n, str(cdir), args.runs)
-    hi = run_level(n4, str(cdir), args.runs)
+
+    def interleaved(corpus: str, arrow_batch: int | None = None) -> tuple[dict, dict]:
+        """Best-of-``args.runs`` per level with the LEVELS interleaved
+        (N, 4N, N, 4N, …), each timed run in a fresh pinned process: a
+        bursty host stall then costs one round of one level instead of every
+        repeat of it (the same round-robin discipline as bench.py)."""
+        best: dict[int, dict] = {}
+        for _ in range(args.runs):
+            for cores in (n, n4):
+                r = run_level(cores, corpus, 1, arrow_batch=arrow_batch)
+                if cores not in best or r["seconds"] < best[cores]["seconds"]:
+                    best[cores] = r
+        return best[n], best[n4]
+
+    lo, hi = interleaved(str(cdir))
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     norm = eff / ceiling["efficiency"] if ceiling["efficiency"] else None
     # bitmap (real-detector) job at the same two levels — the decode UDF is
     # ~100% of its cost, so this evidences the Python/Arrow stage scaling too
-    blo = run_level(n, str(bdir), args.runs, arrow_batch=256)
-    bhi = run_level(n4, str(bdir), args.runs, arrow_batch=256)
+    blo, bhi = interleaved(str(bdir), arrow_batch=256)
     beff = bhi["docs_per_sec"] / (4 * blo["docs_per_sec"])
     bnorm = beff / ceiling["efficiency"] if ceiling["efficiency"] else None
     # preformatted for the markdown template — None (no usable CPU ceiling)
@@ -134,8 +153,11 @@ identical deterministic corpus ({lo['docs']} docs, seed {SEED}), at two
 parallelism levels in separate processes, each PINNED to that many physical
 CPUs with taskset (emulating an executor allocation: without pinning a
 local[N] JVM + its Python workers consume ~2N cores and the comparison is
-dishonest).  Timing excludes session startup, corpus generation and scan
-warm-up.
+dishonest).  Levels are measured INTERLEAVED (N, 4N, N, 4N, ...), best of
+{args.runs} fresh-process runs per level — this VM's hypervisor stalls are
+bursty and consecutive per-level measurement can land a whole level inside a
+stall (PLANS.md §4c).  Timing excludes session startup, corpus generation
+and scan warm-up.
 
 | parallelism | wall (s) | docs/sec |
 |---|---|---|
