@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.pipeline import run_extraction
-from engine.relational import _q, load
+from engine.relational import PRIORITY_FLAGSHIP, _q, load
 from engine.schema import MEDIA_BLOBS_SCHEMA
 from pyspark.sql.types import BinaryType
 
@@ -67,6 +67,7 @@ def _text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
            'tail marker k' || CAST(doc_id % 10 AS VARCHAR) AS text
     FROM documents
     """,
+    priority=PRIORITY_FLAGSHIP,
 )
 def x_text_branch_extraction(spark, sf_dir):
     spans = _text_spans(spark, sf_dir)
@@ -88,6 +89,7 @@ def x_text_branch_extraction(spark, sf_dir):
            CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS net_total_amount
     FROM orders
     """,
+    priority=PRIORITY_FLAGSHIP,
 )
 def x_header_parse_massara(spark, sf_dir):
     from engine.parse import parse_header_massara
@@ -123,6 +125,7 @@ def x_header_parse_massara(spark, sf_dir):
            'SEG-' || c_mktsegment AS company
     FROM customer
     """,
+    priority=PRIORITY_FLAGSHIP,
 )
 def x_invoice_header_adjacency(spark, sf_dir):
     from engine.parse import parse_header_invoice
@@ -161,6 +164,7 @@ _TBL_HEADER = (
            CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR) AS amount
     FROM lineitem
     """,
+    priority=PRIORITY_FLAGSHIP,
 )
 def x_table_parse_service(spark, sf_dir):
     from engine.tables import parse_service_rows
@@ -298,6 +302,7 @@ def interleaved_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
       FROM documents
     ) GROUP BY mode, status, reason
     """,
+    priority=PRIORITY_FLAGSHIP,
 )
 def x_media_route_counts(spark, sf_dir):
     spans, blobs = interleaved_corpus(spark, sf_dir)
@@ -318,6 +323,7 @@ def x_media_route_counts(spark, sf_dir):
     SELECT CAST(((doc_id // 8) % 4) * 90 AS INTEGER) AS rotation, count(*) AS cnt
     FROM documents WHERE doc_id % 8 = 4 GROUP BY rotation
     """,
+    priority=PRIORITY_FLAGSHIP,
 )
 def x_qr_rotation_hist(spark, sf_dir):
     from engine.layout import decode_blobs
@@ -355,6 +361,7 @@ def x_qr_rotation_hist(spark, sf_dir):
            END AS md_doctor
     FROM documents
     """,
+    priority=PRIORITY_FLAGSHIP,
 )
 def x_documents_by_mode(spark, sf_dir):
     from engine.parse import doc_modes, extract_documents
@@ -388,6 +395,7 @@ def x_documents_by_mode(spark, sf_dir):
            CAST(CASE WHEN doc_id % 5 = 0 THEN 100.0 ELSE 75.0 END AS DOUBLE) AS score
     FROM documents
     """,
+    priority=PRIORITY_FLAGSHIP,
 )
 def x_audit_documents(spark, sf_dir):
     from engine.validate import audit_documents
@@ -427,6 +435,74 @@ def x_audit_documents(spark, sf_dir):
         footer.alias("footer"),
     )
     return audit_documents(docs).select(
+        "doc_id",
+        F.array_join("mistakes", ",").alias("mistakes_csv"),
+        "score",
+    )
+
+
+@_q(
+    "x_audit_media_pixels",
+    "E3 image-grounded audit (validator.py:24-108 — the judge looks at the "
+    "page IMAGE, not the struct): every blob is re-decoded from pixels, the "
+    "routing predicates re-run, and the verdict diffed against what the spine "
+    "claims; deterministic tampering per doc_id%4 (clean / wrong mode / "
+    "skipped-claimed-kept / kept-claimed-skipped) must be flagged exactly — "
+    "the oracle restates (mistakes, score) from the doc_id cycle",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CASE WHEN doc_id % 4 = 1 THEN 'mode_mismatch'
+                WHEN doc_id % 4 = 2 AND doc_id % 8 IN (5, 6, 7)
+                     THEN 'kept_but_skippable'
+                WHEN doc_id % 4 = 3 AND doc_id % 8 <= 4
+                     THEN 'skipped_but_processable'
+                ELSE '' END AS mistakes_csv,
+           CAST(CASE WHEN doc_id % 4 = 1
+                       OR (doc_id % 4 = 2 AND doc_id % 8 IN (5, 6, 7))
+                       OR (doc_id % 4 = 3 AND doc_id % 8 <= 4)
+                     THEN 50.0 ELSE 100.0 END AS DOUBLE) AS score
+    FROM documents
+    """,
+    priority=PRIORITY_FLAGSHIP,
+)
+def x_audit_media_pixels(spark, sf_dir):
+    from engine.validate import audit_media_vs_pixels
+
+    spans, blobs = interleaved_corpus(spark, sf_dir)
+    res = run_extraction(spark, spans, blobs, run_id="driver-x-px-audit", persist=False)
+    k = F.col("doc_id").cast("long") % 4
+    is_media = F.col("kind") == "media"
+    # Deterministic tampering of the CLAIMED spine — the audit must catch each
+    # class from pixels alone.  ``reason`` is rewritten while ``status`` still
+    # holds the original value, then ``status`` flips.
+    spine = (
+        res.spine.withColumn(
+            "mode",
+            F.when(is_media & (k == 1), F.lit("tampered_mode")).otherwise(
+                F.col("mode")
+            ),
+        )
+        .withColumn(
+            "reason",
+            F.when(
+                is_media & (k == 2) & (F.col("status") == "skipped"),
+                F.lit(None).cast("string"),
+            )
+            .when(
+                is_media & (k == 3) & (F.col("status") == "kept"), F.lit("tampered")
+            )
+            .otherwise(F.col("reason")),
+        )
+        .withColumn(
+            "status",
+            F.when(
+                is_media & (k == 2) & (F.col("status") == "skipped"), F.lit("kept")
+            )
+            .when(is_media & (k == 3) & (F.col("status") == "kept"), F.lit("skipped"))
+            .otherwise(F.col("status")),
+        )
+    )
+    return audit_media_vs_pixels(spine, blobs).select(
         "doc_id",
         F.array_join("mistakes", ",").alias("mistakes_csv"),
         "score",

@@ -38,21 +38,34 @@ class Q:
     survey: str  # SURVEY.md §2 row(s) this exercises
     build: Callable[[SparkSession, str], DataFrame]
     sql: str | None  # DuckDB oracle; None → driver does rows-only check
+    priority: int = 50  # registry() sort key; lower = earlier on the scoreboard
 
 
 _REGISTRY: list[Q] = []
 
+# The driver's correctness harness checks only the FIRST ``DRIVER_QUERY_CAP``
+# registered queries — adding a query past the cap silently evicts an attested
+# one (this cost x_table_parse_service its round-3 row).  Two guards:
+# registry() orders by explicit priority (flagship end-to-end pipeline queries
+# first, regardless of module import order), and tests/test_oracle_parity.py
+# asserts len(registry()) <= DRIVER_QUERY_CAP.
+DRIVER_QUERY_CAP = 50
 
-def _q(name: str, survey: str, sql: str | None):
+# priority bands (lower sorts first; ties keep registration order)
+PRIORITY_FLAGSHIP = 10  # end-to-end pipeline / pixel-path / audit queries
+PRIORITY_DEFAULT = 50
+
+
+def _q(name: str, survey: str, sql: str | None, priority: int = PRIORITY_DEFAULT):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY.append(Q(name, survey, fn, sql))
+        _REGISTRY.append(Q(name, survey, fn, sql, priority))
         return fn
 
     return deco
 
 
 def registry() -> list[Q]:
-    return list(_REGISTRY)
+    return sorted(_REGISTRY, key=lambda q: q.priority)  # stable: ties keep order
 
 
 def _cents(col):
@@ -193,32 +206,10 @@ def f3_date_bucket(spark, sf_dir):
     )
 
 
-@_q(
-    "f5_multiformat_dates",
-    "F5 — multi-format date normalization: two renderings of the same date "
-    "both normalize to dd/MM/yyyy (normalize_jz_date coalesce chain, "
-    "text_utils.py:46-65)",
-    """
-    SELECT strftime(o_orderdate, '%d/%m/%Y') AS norm_a,
-           strftime(o_orderdate, '%d/%m/%Y') AS norm_b,
-           count(*) AS cnt
-    FROM orders GROUP BY norm_a, norm_b
-    """,
-)
-def f5_multiformat_dates(spark, sf_dir):
-    from engine.textops import normalize_jz_date
-
-    o = load(spark, sf_dir, "orders")
-    # NB 4-digit year: DateTimeFormatter parses 'yy' against base 2000, so a
-    # '95' rendered from 1995 would round-trip to 2095 — classic pivot trap.
-    fmt_a = F.date_format("o_orderdate", "M/d/yyyy h:mma")  # '4/24/2025 6:48PM' shape
-    fmt_b = F.date_format("o_orderdate", "d/M/yyyy HH:mm")
-    norm = lambda c: F.substring(normalize_jz_date(c), 1, 10)  # noqa: E731
-    return (
-        o.select(norm(fmt_a).alias("norm_a"), norm(fmt_b).alias("norm_b"))
-        .groupBy("norm_a", "norm_b")
-        .agg(F.count("*").alias("cnt"))
-    )
+# (f5_multiformat_dates retired round 4 to fit the driver's 50-query window:
+# its oracle restated both sides from the same strftime — the Spark-side
+# normalize_jz_date exercise is covered by x_header_parse_massara and
+# tests/test_textops.py.)
 
 
 @_q(
@@ -338,39 +329,32 @@ def j1_join_broadcast_dims(spark, sf_dir):
 
 
 @_q(
-    "j4_semi_join",
-    "J4 — left semi join: batch-completeness membership (tasks.py:283-291 analogue)",
+    "j4_semi_anti_join",
+    "J4 — completeness membership both ways in one scoreboard row: left SEMI "
+    "join (docs with results, tasks.py:283-291 analogue) unioned with left "
+    "ANTI join (missing-docs audit), tagged by membership",
     """
-    SELECT c_mktsegment, count(*) AS cnt FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    GROUP BY c_mktsegment
+    SELECT membership, c_mktsegment, count(*) AS cnt FROM (
+      SELECT 'present' AS membership, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT 'missing' AS membership, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ) GROUP BY membership, c_mktsegment
     """,
 )
-def j4_semi_join(spark, sf_dir):
+def j4_semi_anti_join(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("cnt"))
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("present").alias("membership"), "c_mktsegment"
     )
-
-
-@_q(
-    "j4_anti_join",
-    "J4 — left anti join: missing-docs completeness audit",
-    """
-    SELECT c_mktsegment, count(*) AS cnt FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    GROUP BY c_mktsegment
-    """,
-)
-def j4_anti_join(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("missing").alias("membership"), "c_mktsegment"
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
+        semi.unionByName(anti)
+        .groupBy("membership", "c_mktsegment")
         .agg(F.count("*").alias("cnt"))
     )
 
@@ -444,17 +428,10 @@ def a1_hash_agg_pricing(spark, sf_dir):
     )
 
 
-@_q(
-    "a1_rollup_pricing",
-    "A1 note — metrics rollup via GROUP BY ROLLUP (built-in, zero custom work; "
-    "the metrics-table rollup from SURVEY §2.5)",
-    """
-    SELECT coalesce(l_returnflag, '∅') AS rf, coalesce(l_linestatus, '∅') AS ls,
-           sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,
-           count(*) AS cnt
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
+# (a1_rollup_pricing retired round 4 to fit the driver's 50-query window:
+# GROUP BY ROLLUP is a Spark built-in with zero custom work here — A1 stays
+# attested by a1_hash_agg_pricing; rollup had a green r3 row, retained below
+# unregistered for local use.)
 def a1_rollup_pricing(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (

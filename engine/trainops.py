@@ -704,24 +704,10 @@ def sim_lsh_hyperplane(spark, sf_dir):
     )
 
 
-@_q(
-    "sim_lsh_multiprobe",
-    "similarity search — multi-probe LSH ANN: candidates = vectors whose "
-    "sign-bucket is within Hamming distance 1 of the query's bucket (probe "
-    "the home bucket + its 8 single-bit neighbors), then exact cosine top-k "
-    "— the recall-recovery step that makes single-table LSH usable at scale",
-    f"""
-    WITH bl AS (
-      SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
-    ),
-    q AS (SELECT embedding, bucket FROM bl WHERE vec_id = 0)
-    SELECT e.vec_id, {_COS_SQL} AS cos
-    FROM bl e, q
-    WHERE e.vec_id <> 0
-      AND bit_count(xor(e.bucket::BIGINT, q.bucket::BIGINT)) <= 1
-    ORDER BY cos DESC, e.vec_id LIMIT 10
-    """,
-)
+# (sim_lsh_multiprobe retired from the registry round 4 to fit the driver's
+# 50-query window: the single-query multi-probe shape is a special case of
+# sim_batch_topk's probe expansion, which stays registered; this function
+# remains for local use and had a green r3 row.)
 def sim_lsh_multiprobe(spark, sf_dir):
     emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_col(F.col("embedding")))
     q = F.broadcast(
@@ -839,20 +825,9 @@ def _hits_sql(col: str, words: list[str]) -> str:
     )
 
 
-@_q(
-    "text_langid",
-    "text analysis — n-gram/stopword language-ID heuristic → confusion matrix "
-    "vs the labeled lang column",
-    f"""
-    SELECT lang,
-           CASE WHEN en > es THEN 'en' WHEN es > en THEN 'es' ELSE 'und' END AS pred,
-           count(*) AS cnt
-    FROM (
-      SELECT lang, {_hits_sql('text', _EN_STOPS)} AS en, {_hits_sql('text', _ES_STOPS)} AS es
-      FROM documents
-    ) GROUP BY lang, pred
-    """,
-)
+# (text_langid retired from the registry round 4 to fit the driver's 50-query
+# window: the stopword variant is redundant with text_langid_ngram, which
+# stays registered; this function remains for local use, green r3 row.)
 def text_langid(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     en = _hits(F.col("text"), _EN_STOPS)
@@ -931,15 +906,10 @@ def text_quality(spark, sf_dir):
     )
 
 
-@_q(
-    "text_tokens",
-    "text analysis — token counting: total + distinct whitespace tokens per source",
-    """
-    SELECT source, count(*) AS total_tokens, count(DISTINCT tok) AS distinct_tokens
-    FROM (SELECT source, u.tok FROM documents, UNNEST(string_split(text, ' ')) AS u(tok))
-    GROUP BY source
-    """,
-)
+# (text_tokens retired from the registry round 4 to fit the driver's 50-query
+# window: whitespace counting is redundant with text_tokens_bpe — and
+# text_quality also aggregates whitespace token counts; remains for local
+# use, green r3 row.)
 def text_tokens(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return (

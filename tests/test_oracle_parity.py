@@ -22,6 +22,31 @@ def test_every_query_has_an_oracle_or_is_flagged():
     assert missing == set(), f"queries without oracle SQL (rows-only fallback): {missing}"
 
 
+def test_registry_fits_driver_window():
+    """The driver's correctness harness scores only the first
+    ``DRIVER_QUERY_CAP`` registered queries — a query added past the cap
+    silently evicts an attested row (this cost x_table_parse_service its
+    round-3 row).  Guard both the cap and the flagship ordering."""
+    from engine.relational import DRIVER_QUERY_CAP, PRIORITY_FLAGSHIP, registry
+
+    names = list(_QUERIES)
+    assert len(names) <= DRIVER_QUERY_CAP, (
+        f"{len(names)} queries registered — retire/consolidate to fit the "
+        f"driver's {DRIVER_QUERY_CAP}-row correctness window"
+    )
+    flagships = [q.name for q in registry() if q.priority <= PRIORITY_FLAGSHIP]
+    assert set(flagships) <= set(names[:DRIVER_QUERY_CAP])
+    for must in (
+        "x_table_parse_service",
+        "x_media_route_counts",
+        "x_qr_rotation_hist",
+        "x_documents_by_mode",
+        "x_audit_documents",
+        "x_audit_media_pixels",
+    ):
+        assert must in names[:DRIVER_QUERY_CAP], f"{must} evicted from driver window"
+
+
 @pytest.fixture(scope="module")
 def con():
     c = duck_conn(SF_DIR)
