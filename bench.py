@@ -215,6 +215,9 @@ def main() -> None:
         sf = -1.0
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(200, int(sf * 40000)))))
 
+    # Bench sessions pin + pre-touch the JVM heap (steady-state timing; see
+    # engine/session.py) — opt-in so dev/test sessions keep lazy heap growth.
+    os.environ.setdefault("SPARK_GRAFT_PIN_HEAP", "1")
     spark = get_spark("bench", cores=cpus)  # shuffle partitions: session default (2x cores)
     builders = {q.name: q.build for q in registry()}
 

@@ -42,6 +42,9 @@ def main() -> None:
         if args.arrow_batch
         else None
     )
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_PIN_HEAP", "1")  # steady-state bench heap
     spark = get_spark(
         f"scale-{args.cores}",
         cores=args.cores,

@@ -71,7 +71,16 @@ def committed_spine_dirs(out_dir: str) -> list[str]:
 def expire_runs(base_dir: str, keep_hours: float = 72.0) -> list[str]:
     """S7 retention: delete run directories older than the TTL (the reference
     expires results after 72 h — app/config.py:33, app/tasks.py:306-327;
-    on Iceberg this is expire_snapshots)."""
+    on Iceberg this is expire_snapshots).
+
+    A materialize_run run spans SIX ``run=<id>`` directories (spine + the
+    five derived outputs) whose mtimes differ — healing rewrites outputs
+    later.  Expiry is therefore keyed off the SPINE dir's age (the source of
+    truth) and removes the run_id atomically across all six trees, so direct
+    readers of ``out_dir/<table>`` and materialize_run's committed-spine
+    union never diverge.  A ``base_dir`` without a ``spine/`` subtree is
+    treated as a flat collection of run directories (each expired by its own
+    mtime) — the layout of ad-hoc checkpoint dirs."""
     import shutil
     import time
 
@@ -79,7 +88,19 @@ def expire_runs(base_dir: str, keep_hours: float = 72.0) -> list[str]:
     cutoff = time.time() - keep_hours * 3600
     if not os.path.isdir(base_dir):
         return removed
-    for name in os.listdir(base_dir):
+    spath = spine_path(base_dir)
+    if os.path.isdir(spath):
+        for name in sorted(os.listdir(spath)):
+            sdir = os.path.join(spath, name)
+            if not (os.path.isdir(sdir) and os.path.getmtime(sdir) < cutoff):
+                continue
+            for table in ("spine",) + OUTPUT_NAMES:
+                path = os.path.join(base_dir, table, name)
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                    removed.append(path)
+        return removed
+    for name in sorted(os.listdir(base_dir)):
         path = os.path.join(base_dir, name)
         if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
             shutil.rmtree(path)
@@ -157,9 +178,17 @@ def materialize_run(
         if missing:
             derived = derive_outputs(spark.read.parquet(sdir), rid)
             for name in missing:
-                derived[name].write.mode("overwrite").parquet(
-                    _run_subdir(out_dir, name, rid)
-                )
+                dpath = _run_subdir(out_dir, name, rid)
+                derived[name].write.mode("overwrite").parquet(dpath)
+                if not _is_committed(dpath):
+                    # same contract as the spine write above: without markers
+                    # every derived output would read as "missing" forever and
+                    # each invocation would silently re-derive the history
+                    raise RuntimeError(
+                        f"derived write to {dpath} produced no _SUCCESS marker "
+                        "— resume requires commit markers; do not disable "
+                        "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+                    )
         for name in OUTPUT_NAMES:
             out_dirs[name].append(_run_subdir(out_dir, name, rid))
     return {

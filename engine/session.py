@@ -48,18 +48,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # Pin the heap (-Xms == -Xmx) and pre-touch it: without this, G1
-        # repeatedly uncommits idle regions and re-commits them at the next
-        # query, and the kernel-side page churn showed up as 300+ s of JVM
-        # *system* time on identical re-runs (measured: dedup_minhash_lsh at
-        # sf0.1/32c swung 3.2-21.8 s; pinned heap bounds it at 3.9-6.6 s with
-        # jvm_sys 5-13 s).  On a cluster the same flags belong in
-        # spark.executor.extraJavaOptions (-Xmx itself must stay under
-        # spark.{driver,executor}.memory control).
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} -XX:+AlwaysPreTouch",
-        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Media payloads are decoded on the SCAN partitions (no payload
@@ -67,6 +55,22 @@ def get_spark(
         # modest inputs.  At cluster scale this is the per-executor knob too.
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
+    if os.environ.get("SPARK_GRAFT_PIN_HEAP") == "1":
+        # Pin the heap (-Xms == -Xmx) and pre-touch it: without this, G1
+        # repeatedly uncommits idle regions and re-commits them at the next
+        # query, and the kernel-side page churn showed up as 300+ s of JVM
+        # *system* time on identical re-runs (measured: dedup_minhash_lsh at
+        # sf0.1/32c swung 3.2-21.8 s; pinned heap bounds it at 3.9-6.6 s with
+        # jvm_sys 5-13 s).  OPT-IN (bench scripts set it): committing +
+        # page-touching the full heap at JVM start fails or thrashes on hosts
+        # with less free RAM than the configured heap, which is the wrong
+        # default for dev/test sessions.  On a cluster the same flags belong
+        # in spark.executor.extraJavaOptions (-Xmx itself must stay under
+        # spark.{driver,executor}.memory control).
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} -XX:+AlwaysPreTouch",
+        )
     if os.environ.get("SPARK_GRAFT_ICEBERG") == "1":
         # Opt-in Iceberg catalog wiring (ICEBERG.md) — requires the
         # iceberg-spark-runtime jar on the classpath; the sandbox has none,

@@ -101,12 +101,16 @@ def stateful_assembler(
         else:
             n, kinds, texts, refs, offsets = None, [], [], [], []
         for pdf in pdf_iter:
-            for _, r in pdf.iterrows():
-                n = int(r["n_spans"])
-                kinds.append(r["kind"])
-                texts.append(r["text"] if pd.notna(r["text"]) else None)
-                refs.append(r["media_ref"] if pd.notna(r["media_ref"]) else None)
-                offsets.append(int(r["offset"]))
+            if len(pdf) == 0:
+                continue
+            # column-wise appends (no per-row Python iteration in the hot loop)
+            n = int(pdf["n_spans"].iloc[-1])
+            kinds.extend(pdf["kind"].tolist())
+            texts.extend(pdf["text"].where(pd.notna(pdf["text"]), None).tolist())
+            refs.extend(
+                pdf["media_ref"].where(pd.notna(pdf["media_ref"]), None).tolist()
+            )
+            offsets.extend(int(o) for o in pdf["offset"].tolist())
         if n is not None and len(offsets) >= n:
             state.remove()
             spans = sorted(zip(kinds, texts, refs, offsets), key=lambda t: t[3])

@@ -307,16 +307,45 @@ def connected_components(
             sc.setCheckpointDir(conf_dir)
     reliable = sc.getCheckpointDir() is not None
 
-    def truncate(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    # Superseded reliable checkpoints are deleted EXPLICITLY: Spark's
+    # cleaner only removes checkpoint files on driver-side RDD GC (and only
+    # with spark.cleaner.referenceTracking.cleanCheckpoints=true), so a long
+    # loop at the 100 TB scale this targets would otherwise accumulate
+    # O(convergence-checks) full table copies on durable storage.  Each
+    # truncate diffs the app-private checkpoint dir (setCheckpointDir
+    # appends a per-app UUID, so the listing is ours alone) to learn which
+    # rdd-* directory the checkpoint created; when a newer checkpoint
+    # supersedes it, the old directory is removed through the Hadoop
+    # FileSystem API (works for file://, hdfs://, s3a:// alike).
+    def _fs_path(p: str):
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(p)
+        return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
 
-    edges = truncate(edges)
-    comp = truncate(
+    def _list_ckpt() -> set:
+        fs, jpath = _fs_path(sc.getCheckpointDir())
+        if not fs.exists(jpath):
+            return set()
+        return {st.getPath().toString() for st in fs.listStatus(jpath)}
+
+    def _delete(paths: set) -> None:
+        for p in paths:
+            fs, jpath = _fs_path(p)
+            fs.delete(jpath, True)
+
+    def truncate(df: DataFrame) -> tuple[DataFrame, set]:
+        if not reliable:
+            return df.localCheckpoint(eager=True), set()
+        before = _list_ckpt()
+        out = df.checkpoint(eager=True)
+        return out, _list_ckpt() - before
+
+    edges, edges_files = truncate(edges)
+    comp, comp_files = truncate(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
     )
-    last_checked = comp
+    last_checked, last_files = comp, comp_files
     iterations = checks = 0
     converged = False
     for it in range(1, max_iterations + 1):
@@ -336,7 +365,7 @@ def connected_components(
         )
         iterations = it
         if it % check_every == 0 or it == max_iterations:
-            comp = truncate(comp)
+            comp, comp_files = truncate(comp)
             checks += 1
             changed = (
                 comp.alias("n")
@@ -344,10 +373,17 @@ def connected_components(
                 .filter(F.col("n.comp") != F.col("o.comp"))
                 .count()
             )
+            # the previous window's checkpoint is now superseded — the new
+            # comp is fully materialized and nothing references the old files
+            _delete(last_files)
             if changed == 0:
                 converged = True
                 break
-            last_checked = comp
+            last_checked, last_files = comp, comp_files
+    if converged:
+        # the returned comp is materialized; the edges checkpoint is no
+        # longer referenced by any surviving plan
+        _delete(edges_files)
     if stats is not None:
         stats.update(
             iterations=iterations,

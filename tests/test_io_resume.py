@@ -104,6 +104,37 @@ def test_expire_runs_removes_only_old_dirs(tmp_path):
     assert expire_runs(str(tmp_path / "nope")) == []
 
 
+def test_expire_runs_materialize_layout_is_atomic_per_run(tmp_path):
+    """A materialize_run run spans spine + 5 derived run= dirs with differing
+    mtimes (healing rewrites outputs later).  Expiry keys off the SPINE age
+    and removes the run_id across ALL trees — never orphaning derived dirs
+    that out_dir/<table> readers would still see."""
+    import os
+    import time
+
+    from engine.io import OUTPUT_NAMES, expire_runs
+
+    out = tmp_path / "mat"
+    stale = time.time() - 80 * 3600
+    for rid, old in (("r-old", True), ("r-new", False)):
+        for table in ("spine",) + OUTPUT_NAMES:
+            d = out / table / f"run={rid}"
+            d.mkdir(parents=True)
+            (d / "_SUCCESS").write_bytes(b"")
+        if old:
+            # only the SPINE is stale; a healed output was rewritten recently
+            os.utime(out / "spine" / f"run={rid}", (stale, stale))
+            os.utime(out / "lineage" / f"run={rid}", (stale, stale))
+
+    removed = expire_runs(str(out), keep_hours=72.0)
+    assert sorted(removed) == sorted(
+        str(out / t / "run=r-old") for t in ("spine",) + OUTPUT_NAMES
+    )
+    for table in ("spine",) + OUTPUT_NAMES:
+        assert not (out / table / "run=r-old").exists()
+        assert (out / table / "run=r-new").exists()
+
+
 def test_same_run_id_retry_is_idempotent(spark, corpus, tmp_path):
     """acks_late redelivery: re-running materialize_run with the SAME run_id
     and input must reproduce the same outputs — not anti-join its own prior

@@ -71,6 +71,18 @@ def test_connected_components_chain_converges_at_cadence(spark, tmp_path):
     # diameter 11 needs >= 11 propagation rounds; driver checks at cadence 3
     assert stats["iterations"] >= 11
     assert stats["convergence_checks"] <= stats["iterations"] // 3 + 1
+    # superseded checkpoints are deleted as the loop advances: a 15-round run
+    # must NOT accumulate O(checks) table copies on durable storage — only
+    # the final comp checkpoint survives (edges + earlier windows removed)
+    import os
+
+    ckpt_root = sc.getCheckpointDir().replace("file:", "")
+    leftover = [
+        d for d in os.listdir(ckpt_root) if os.path.isdir(os.path.join(ckpt_root, d))
+    ]
+    assert len(leftover) <= 1, f"superseded checkpoints not cleaned: {leftover}"
+    # and the survivor is still readable (the returned frame depends on it)
+    assert comp.count() == 12
 
 
 def test_connected_components_raises_instead_of_partial_labels(spark):
