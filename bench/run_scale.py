@@ -29,6 +29,29 @@ def main() -> None:
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
+        "--warm-corpus",
+        default=None,
+        help="smaller corpus for the untimed warm-up run (python-worker spawn, "
+        "numpy import, codegen/JIT warm on a fraction of the data instead of "
+        "paying a full extra pass); defaults to --corpus",
+    )
+    ap.add_argument(
+        "--receipts",
+        action="store_true",
+        help="emit single-core md5 burn walls before/after the timed runs — "
+        "host-health receipts that let a reader attribute a slow wall to a "
+        "hypervisor stall/throttle window instead of the engine",
+    )
+    ap.add_argument(
+        "--tasktime",
+        action="store_true",
+        help="also report total executor task-time + GC time of the timed "
+        "runs (parsed from an uncompressed event log): across parallelism "
+        "levels this total is the work-invariance receipt — if it holds "
+        "constant, the job adds no parallelism-induced overhead and wall "
+        "scales as task-time/cores",
+    )
+    ap.add_argument(
         "--arrow-batch",
         type=int,
         default=None,
@@ -43,8 +66,20 @@ def main() -> None:
         else None
     )
     import os
+    import tempfile
 
     os.environ.setdefault("SPARK_GRAFT_PIN_HEAP", "1")  # steady-state bench heap
+    ev_dir = None
+    if args.tasktime:
+        ev_dir = tempfile.mkdtemp(prefix="scale-evlog-")
+        extra = dict(extra or {})
+        extra.update(
+            {
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": f"file://{ev_dir}",
+                "spark.eventLog.compress": "false",
+            }
+        )
     spark = get_spark(
         f"scale-{args.cores}",
         cores=args.cores,
@@ -58,10 +93,25 @@ def main() -> None:
     # codegen/JIT of the decode path, which dominates a SHORT job at high
     # core counts and fakes sub-linear scaling (measured: bitmap local[8]
     # 49.7 s cold-per-process vs 17.1 s with a warm first run).
-    warm = run_extraction(spark, spans, blobs, run_id=f"warm-{args.cores}")
+    wspans, wblobs = spans, blobs
+    if args.warm_corpus:
+        wspans = spark.read.parquet(f"{args.warm_corpus}/spans")
+        wblobs = spark.read.parquet(f"{args.warm_corpus}/media_blobs")
+    warm = run_extraction(spark, wspans, wblobs, run_id=f"warm-{args.cores}")
     warm.spans_out.write.format("noop").mode("overwrite").save()
     warm.unpersist()
 
+    def _burn() -> float:
+        import hashlib
+
+        t0 = time.time()
+        h = b"x" * 64
+        for _ in range(2_000_000):
+            h = hashlib.md5(h).digest()
+        return round(time.time() - t0, 2)
+
+    burn_before = _burn() if args.receipts else None
+    timed_from_ms = int(time.time() * 1000)
     best = None
     for _ in range(args.runs):
         t0 = time.time()
@@ -74,16 +124,42 @@ def main() -> None:
         assert row["docs"] == n_docs
         if best is None or dt < best:
             best = dt
-    print(
-        json.dumps(
-            {
-                "cores": args.cores,
-                "docs": n_docs,
-                "seconds": round(best, 2),
-                "docs_per_sec": round(n_docs / best, 1),
-            }
-        )
-    )
+    rec = {
+        "cores": args.cores,
+        "docs": n_docs,
+        "seconds": round(best, 2),
+        "docs_per_sec": round(n_docs / best, 1),
+    }
+    if args.receipts:
+        rec["burn_before_s"] = burn_before
+        rec["burn_after_s"] = _burn()
+    if ev_dir:
+        spark.stop()  # flush the event log
+        task_s = gc_s = 0.0
+        import glob
+
+        # Spark 4 writes rolling event logs as a DIRECTORY per app
+        for path in glob.glob(f"{ev_dir}/**/*", recursive=True):
+            if not os.path.isfile(path) or "appstatus" in os.path.basename(path):
+                continue
+            with open(path, errors="ignore") as fh:
+                for line in fh:
+                    if '"SparkListenerTaskEnd"' not in line:
+                        continue
+                    e = json.loads(line)
+                    info = e.get("Task Info") or {}
+                    if info.get("Launch Time", 0) < timed_from_ms:
+                        continue  # warm-up / setup tasks
+                    m = e.get("Task Metrics") or {}
+                    task_s += m.get("Executor Run Time", 0) / 1000
+                    gc_s += m.get("JVM GC Time", 0) / 1000
+        # args.runs timed runs executed after timed_from_ms → per-run average
+        rec["task_time_s"] = round(task_s / max(args.runs, 1), 1)
+        rec["gc_time_s"] = round(gc_s / max(args.runs, 1), 1)
+        import shutil
+
+        shutil.rmtree(ev_dir, ignore_errors=True)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

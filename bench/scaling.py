@@ -39,7 +39,8 @@ SEED = 1234
 
 def run_level(cores: int, corpus: str, runs: int, arrow_batch: int | None = None) -> dict:
     cmd = [sys.executable, str(REPO / "bench" / "run_scale.py"),
-           "--cores", str(cores), "--corpus", corpus, "--runs", str(runs)]
+           "--cores", str(cores), "--corpus", corpus, "--runs", str(runs),
+           "--receipts", "--tasktime"]
     if arrow_batch:
         cmd += ["--arrow-batch", str(arrow_batch)]
     if shutil.which("taskset"):

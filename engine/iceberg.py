@@ -1,0 +1,181 @@
+"""Iceberg DDL/DML builders for the checkpoint/resume layout (ICEBERG.md).
+
+The sandbox has no iceberg-spark-runtime jar, so these statements cannot
+EXECUTE here — but they can PARSE: every statement below uses syntax Spark's
+own SQL parser accepts (CREATE TABLE ... USING iceberg, INSERT OVERWRITE,
+MERGE INTO, DELETE FROM, and — native in Spark 4 — CALL), which
+tests/test_iceberg_sql.py validates against
+``sessionState().sqlParser().parsePlan`` on a jar-less session, alongside a
+schema-match assertion pinning the DDL column lists to the live
+derive_outputs frames.
+
+On a real deployment (SPARK_GRAFT_ICEBERG=1 + jar on the classpath,
+engine/session.py:85-107) these are the exact statements materialize_run's
+mechanisms map onto — see ICEBERG.md's replacement table.
+"""
+
+from __future__ import annotations
+
+from engine.io import OUTPUT_NAMES
+
+SPAN_STRUCT = "ARRAY<STRUCT<kind: STRING, text: STRING, media_ref: STRING, offset: INT>>"
+
+# spine columns mirror engine/pipeline.build_spine's output schema
+_SPINE_COLS = (
+    "doc_id STRING, offset INT, kind STRING, media_ref STRING, "
+    "out_text STRING, status STRING, reason STRING, conf DOUBLE, mode STRING, "
+    "qr_rotation INT"
+)
+
+
+def input_ddl(catalog: str = "lake") -> list[str]:
+    """The two input tables, bucketed for the 10^12-scale joins: spans by
+    doc_id (storage-partitioned re-nest), media_blobs by media_ref
+    (shuffle-free features join with v2 bucketing), with small row groups so
+    the decode-at-scan stage gets real split granularity (PLANS.md §4)."""
+    return [
+        f"""
+        CREATE TABLE IF NOT EXISTS {catalog}.docs.spans (
+          doc_id STRING,
+          spans  {SPAN_STRUCT}
+        ) USING iceberg
+        PARTITIONED BY (bucket(4096, doc_id))
+        """,
+        f"""
+        CREATE TABLE IF NOT EXISTS {catalog}.docs.media_blobs (
+          media_ref STRING,
+          payload   BINARY
+        ) USING iceberg
+        PARTITIONED BY (bucket(4096, media_ref))
+        TBLPROPERTIES (
+          'write.parquet.row-group-size-bytes' = '4194304',
+          'read.split.target-size'             = '33554432'
+        )
+        """,
+    ]
+
+
+def output_ddl(catalog: str = "lake") -> list[str]:
+    """One table per materialize_run output + the spine; run_id is a regular
+    column AND the leading partition — the Iceberg twin of the local
+    ``<table>/run=<id>`` directory layout (engine/io.py)."""
+    stmts = [
+        f"""
+        CREATE TABLE IF NOT EXISTS {catalog}.extract.spine (
+          {_SPINE_COLS}, run_id STRING
+        ) USING iceberg
+        PARTITIONED BY (run_id, bucket(1024, doc_id))
+        """,
+        f"""
+        CREATE TABLE IF NOT EXISTS {catalog}.extract.spans_out (
+          doc_id STRING,
+          spans_out {SPAN_STRUCT},
+          run_id STRING
+        ) USING iceberg
+        PARTITIONED BY (run_id, bucket(1024, doc_id))
+        """,
+    ]
+    # mirrors engine/metrics.py output schemas exactly — guarded by
+    # tests/test_iceberg_sql.py's schema-match assertion against the live
+    # derive_outputs frames, so drift fails the suite
+    flat = {
+        "lineage": (
+            "run_id STRING, partition_id INT, doc_id STRING, offset INT, "
+            "status STRING, reason STRING"
+        ),
+        "metrics": (
+            "run_id STRING, partition_id INT, docs_processed BIGINT, "
+            "spans_kept BIGINT, spans_dropped BIGINT, errors BIGINT"
+        ),
+        "conf_hist": (
+            "run_id STRING, partition_id INT, conf_bucket INT, conf_count BIGINT"
+        ),
+        "run_totals": (
+            "run_id STRING, docs_total BIGINT, spans_total BIGINT, "
+            "spans_kept BIGINT, errors BIGINT"
+        ),
+    }
+    for name in OUTPUT_NAMES:
+        if name == "spans_out":
+            continue
+        stmts.append(
+            f"""
+            CREATE TABLE IF NOT EXISTS {catalog}.extract.{name} (
+              {flat[name]}
+            ) USING iceberg
+            PARTITIONED BY (run_id)
+            """
+        )
+    return stmts
+
+
+def overwrite_run_sql(table: str, run_id: str, select_sql: str, catalog: str = "lake") -> str:
+    """Same-run_id redelivery idempotence: replace ONLY this run's partition
+    (io.py's ``mode=overwrite`` of the run's own dir)."""
+    return (
+        f"INSERT OVERWRITE {catalog}.extract.{table} "
+        f"PARTITION (run_id = '{run_id}') {select_sql}"
+    )
+
+
+def resume_anti_join_sql(run_id: str, catalog: str = "lake") -> str:
+    """Unfinished-documents scan: the committed-spine anti-join
+    (io.py materialize_run's ``todo``) expressed against the spine table."""
+    return f"""
+    SELECT s.* FROM {catalog}.docs.spans s
+    LEFT ANTI JOIN (
+      SELECT DISTINCT doc_id FROM {catalog}.extract.spine
+      WHERE run_id <> '{run_id}'
+    ) done ON s.doc_id = done.doc_id
+    """
+
+
+def merge_docs_sql(source_view: str = "new_run_spans_out", catalog: str = "lake") -> str:
+    """Doc-level upsert variant (re-extraction after a detector fix): with
+    both sides bucketed by doc_id, merge-on-read touches only the affected
+    buckets — the in-place replacement local parquet cannot express."""
+    return f"""
+    MERGE INTO {catalog}.extract.spans_out t
+    USING {source_view} s
+      ON t.doc_id = s.doc_id
+    WHEN MATCHED THEN UPDATE SET t.spans_out = s.spans_out, t.run_id = s.run_id
+    WHEN NOT MATCHED THEN INSERT *
+    """
+
+
+def expire_runs_sql(expired_run_ids: list[str], catalog: str = "lake") -> list[str]:
+    """S7 retention of RUNS: metadata-only partition drops across all output
+    tables — io.py expire_runs' atomic per-run removal, Iceberg-side."""
+    ids = ", ".join(f"'{r}'" for r in expired_run_ids)
+    return [
+        f"DELETE FROM {catalog}.extract.{t} WHERE run_id IN ({ids})"
+        for t in ("spine",) + OUTPUT_NAMES
+    ]
+
+
+def expire_snapshots_call(catalog: str = "lake", hours: int = 72) -> str:
+    """Snapshot expiry (storage reclamation under the run deletes).  Spark 4
+    parses ``CALL`` natively (SQL stored procedures), so this is in the parse
+    gate too; EXECUTION still requires the Iceberg runtime's procedure
+    catalog."""
+    return (
+        f"CALL {catalog}.system.expire_snapshots(table => 'extract.spine', "
+        f"older_than => now() - INTERVAL {hours} HOURS)"
+    )
+
+
+def parse_checked_statements(run_id: str = "r1") -> list[str]:
+    """Every statement the jar-less parse gate validates."""
+    return (
+        input_ddl()
+        + output_ddl()
+        + [
+            overwrite_run_sql(
+                "spine", run_id, "SELECT * FROM staged_spine"
+            ),
+            resume_anti_join_sql(run_id),
+            merge_docs_sql(),
+            expire_snapshots_call(),
+        ]
+        + expire_runs_sql([run_id])
+    )

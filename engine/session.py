@@ -27,7 +27,13 @@ def get_spark(
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else 0
-    master = f"local[{cores}]" if cores and cores > 0 else "local[*]"
+    # SPARK_GRAFT_MASTER overrides local mode with a real cluster master URL
+    # (bench/cluster.py's standalone cluster; a deployment's spark-submit).
+    # ``cores`` then means TOTAL cluster cores and still sizes the shuffle
+    # partitioning below.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or (
+        f"local[{cores}]" if cores and cores > 0 else "local[*]"
+    )
     if shuffle_partitions is None:
         # 2× the core count, not 1×: with reducers == cores one slow/skewed
         # reduce partition stalls the whole tail (measured: the 120k-doc

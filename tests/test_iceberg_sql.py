@@ -1,0 +1,82 @@
+"""Jar-less dry-run gate for the Iceberg mapping (ICEBERG.md): every DDL/DML
+statement the deployment path would execute must PARSE on Spark's own SQL
+parser, and the flat-table DDL must match the live output schemas so the
+document cannot drift from the code.
+
+The runtime jar is absent in this sandbox (ICEBERG.md §1), so execution is
+exercised only on a real deployment — this test pins down everything short
+of that: syntax, column lists, and the one statement (CALL expire_snapshots)
+that genuinely needs the Iceberg parser extension."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from engine import iceberg
+
+
+def _parse(spark, sql: str):
+    return spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+
+
+def test_all_statements_parse_without_iceberg_jar(spark):
+    stmts = iceberg.parse_checked_statements("r1")
+    assert len(stmts) >= 12
+    for sql in stmts:
+        _parse(spark, sql)  # raises ParseException on bad syntax
+
+
+def test_expire_snapshots_call_parses_as_procedure(spark):
+    """Spark 4 parses CALL natively (SQL stored procedures) — the plan is an
+    unresolved procedure invocation; execution needs Iceberg's procedure
+    catalog, which is the deployment-only part."""
+    plan = str(_parse(spark, iceberg.expire_snapshots_call()))
+    assert "expire_snapshots" in plan
+
+
+def _ddl_columns(ddl: str) -> dict[str, str]:
+    """column -> type from the parenthesized column list of a CREATE TABLE."""
+    body = ddl[ddl.index("(") + 1 : ddl.index(") USING")]
+    cols = {}
+    for part in re.split(r",(?![^<]*>)", body):  # don't split inside ARRAY<...>
+        name, typ = part.strip().split(None, 1)
+        cols[name] = re.sub(r"\s+", " ", typ.strip().upper())
+    return cols
+
+
+def test_output_ddl_matches_live_schemas(spark):
+    """The flat output tables' DDL mirrors engine/metrics.py exactly — drift
+    between the Iceberg mapping and the real frames fails here."""
+    from pyspark.sql import functions as F
+
+    from engine.io import derive_outputs
+
+    spine = spark.createDataFrame(
+        [
+            ("d1", 0, "text", None, "hello", "kept", None, None, None, None),
+            ("d1", 1, "media", "m1", "world", "kept", None, 0.9, "massara", 0),
+        ],
+        "doc_id string, offset int, kind string, media_ref string, "
+        "out_text string, status string, reason string, conf double, "
+        "mode string, qr_rotation int",
+    )
+    outs = derive_outputs(spine, "r1")
+    ddls = {d.split(".extract.")[1].split("(")[0].strip(): d for d in iceberg.output_ddl()}
+    type_map = {"string": "STRING", "int": "INT", "bigint": "BIGINT", "double": "DOUBLE"}
+    for name in ("lineage", "metrics", "conf_hist", "run_totals"):
+        df = outs[name]
+        # DDL column lists lead with run_id; the frames carry run_id too
+        want = {
+            f.name: type_map[f.dataType.simpleString()] for f in df.schema.fields
+        }
+        got = _ddl_columns(ddls[name])
+        assert got == want, f"{name}: DDL {got} != live schema {want}"
+    # spine DDL covers exactly the spine columns + run_id
+    got = _ddl_columns(ddls["spine"])
+    want = {
+        f.name: type_map[f.dataType.simpleString()] for f in spine.schema.fields
+    }
+    want["run_id"] = "STRING"
+    assert got == want
