@@ -63,7 +63,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk",
-    "text_tokens",
+    "text_tokens_bpe",
     "x_text_branch_extraction",
 ]
 

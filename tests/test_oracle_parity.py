@@ -47,6 +47,15 @@ def test_registry_fits_driver_window():
         assert must in names[:DRIVER_QUERY_CAP], f"{must} evicted from driver window"
 
 
+def test_bench_headline_names_are_registered():
+    """bench.py times queries by registry name; a retired/renamed query left
+    in HEADLINE crashes the driver's bench run (text_tokens did in round 4)."""
+    import bench
+
+    missing = set(bench.HEADLINE) - set(_QUERIES)
+    assert missing == set(), f"bench.HEADLINE names not in registry: {missing}"
+
+
 @pytest.fixture(scope="module")
 def con():
     c = duck_conn(SF_DIR)
