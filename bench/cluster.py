@@ -194,6 +194,19 @@ def main() -> None:
     ap.add_argument("--bitmap-docs", type=int, default=12000)
     ap.add_argument("--rounds", type=int, default=2, help="interleaved best-of rounds")
     ap.add_argument("--skip-bitmap", action="store_true")
+    ap.add_argument(
+        "--bitmap-only",
+        action="store_true",
+        help="measure only the bitmap job (results go to a separate "
+        "cluster-NxC-bitmap.json so a pipeline result file is not clobbered)",
+    )
+    ap.add_argument(
+        "--ceiling",
+        action="store_true",
+        help="also measure the host's pure-CPU scaling ceiling (pinned md5 "
+        "process pools, no Spark) at the same two total-core counts and "
+        "embed it — the machine-normalization receipt for a virtualized host",
+    )
     args = ap.parse_args()
     n, n4, cpe = args.execs, args.execs * 4, args.cores_per_exec
 
@@ -202,12 +215,16 @@ def main() -> None:
     assert need + 4 <= ncpu, f"4N cluster needs {need}+4 cores, host has {ncpu}"
     driver_cores = f"{ncpu - 4}-{ncpu - 1}"  # same reserved driver cores at BOTH levels
 
+    run_pipeline = not args.bitmap_only
+    run_bitmap = not args.skip_bitmap
+    assert run_pipeline or run_bitmap, "--bitmap-only and --skip-bitmap conflict"
+
     cdir = REPO / ".bench_cache" / f"corpus-v{fixtures.FIXTURE_VERSION}-{SEED}-{args.docs}"
-    if not (cdir / "spans").exists():
+    if run_pipeline and not (cdir / "spans").exists():
         print(f"generating corpus ({args.docs} docs)…", file=sys.stderr)
         fixtures.write_corpus(str(cdir), args.docs, seed=SEED, docs_per_file=1000)
     bdir = REPO / ".bench_cache" / f"bitmap-v{fixtures.BITMAP_FIXTURE_VERSION}l2-{SEED}-{args.bitmap_docs}"
-    if not args.skip_bitmap and not (bdir / "spans").exists():
+    if run_bitmap and not (bdir / "spans").exists():
         print(f"generating bitmap corpus ({args.bitmap_docs} docs)…", file=sys.stderr)
         fixtures.write_bitmap_corpus(str(bdir), args.bitmap_docs, seed=SEED)
 
@@ -219,10 +236,10 @@ def main() -> None:
     # warm-up corpora: a small same-shape corpus warms python workers /
     # numpy / codegen without paying a full extra pass over the real input
     wdir = REPO / ".bench_cache" / f"corpus-v{fixtures.FIXTURE_VERSION}-{SEED}-4000"
-    if not (wdir / "spans").exists():
+    if run_pipeline and not (wdir / "spans").exists():
         fixtures.write_corpus(str(wdir), 4000, seed=SEED, docs_per_file=500)
     wbdir = REPO / ".bench_cache" / f"bitmap-v{fixtures.BITMAP_FIXTURE_VERSION}l2-{SEED}-800"
-    if not args.skip_bitmap and not (wbdir / "spans").exists():
+    if run_bitmap and not (wbdir / "spans").exists():
         fixtures.write_bitmap_corpus(str(wbdir), 800, seed=SEED)
 
     def interleaved(corpus: str, arrow_batch: int | None = None) -> tuple[dict, dict]:
@@ -242,34 +259,49 @@ def main() -> None:
                     best[execs] = rec
         return best[n], best[n4]
 
-    lo, hi = interleaved(str(cdir))
-    eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     result = {
         "protocol": (
             f"standalone cluster, {n} vs {n4} executors × {cpe} cores, "
             "separate pinned JVMs, spark-submit --py-files"
         ),
-        "docs": lo["docs"],
-        f"{n}_executors": lo,
-        f"{n4}_executors": hi,
-        "scaling_efficiency": round(eff, 3),
         "pass_threshold": 0.8,
     }
-    if not args.skip_bitmap:
+    effs = []
+    if run_pipeline:
+        lo, hi = interleaved(str(cdir))
+        eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+        effs.append(eff)
+        result.update(
+            docs=lo["docs"],
+            **{f"{n}_executors": lo, f"{n4}_executors": hi},
+            scaling_efficiency=round(eff, 3),
+        )
+    if run_bitmap:
         blo, bhi = interleaved(str(bdir), arrow_batch=256)
         beff = bhi["docs_per_sec"] / (4 * blo["docs_per_sec"])
+        effs.append(beff)
         result.update(
             bitmap_docs=blo["docs"],
             **{f"bitmap_{n}_executors": blo, f"bitmap_{n4}_executors": bhi},
             bitmap_scaling_efficiency=round(beff, 3),
         )
-        result["passed"] = eff >= 0.8 and beff >= 0.8
-    else:
-        result["passed"] = eff >= 0.8
+    if args.ceiling:
+        sys.path.insert(0, str(REPO / "bench"))
+        from scaling import raw_cpu_ceiling
+
+        ceil = raw_cpu_ceiling(n * cpe, n4 * cpe)
+        result["cpu_ceiling"] = ceil
+        result["normalized"] = {
+            k: round(result[k] / ceil["efficiency"], 3)
+            for k in ("scaling_efficiency", "bitmap_scaling_efficiency")
+            if k in result
+        }
+    result["passed"] = all(e >= 0.8 for e in effs)
     print(json.dumps(result))
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / f"cluster-{n}x{cpe}.json").write_text(
+    suffix = "-bitmap" if args.bitmap_only else ""
+    (REPO / "BENCH" / f"cluster-{n}x{cpe}{suffix}.json").write_text(
         json.dumps({"generated": stamp, **result}, indent=2) + "\n"
     )
 

@@ -135,13 +135,23 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     sh = _shingles(_augmented(spark, sf_dir))
+    # One aggregation pass computes all 4 band minima (4 min-exprs over the
+    # same shingle rows), then posexplode to (band, sig) rows.  Wall-neutral
+    # at sf0.1/32c (md5 compute dominates; interleaved A/B best-of-3: 6.24 s
+    # explode-then-group vs 6.17 s) but the better shape for the hash
+    # aggregate at scale: 4x fewer input rows and 4x fewer keys (doc_id vs
+    # doc_id x band) for the same md5 count and the same shuffle bytes.
     sig = (
-        sh.withColumn("band", F.explode(F.array(*[F.lit(i) for i in range(4)])))
-        .groupBy("doc_id", "band")
+        sh.groupBy("doc_id")
         .agg(
-            F.min(
-                F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")))
-            ).alias("sig")
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
+                for i in range(4)
+            ]
+        )
+        .select(
+            "doc_id",
+            F.posexplode(F.array(*[f"s{i}" for i in range(4)])).alias("band", "sig"),
         )
     )
     a = sig.alias("a")
