@@ -116,39 +116,82 @@ def _scan_line(line: np.ndarray) -> list[tuple[int, int]]:
     return out
 
 
+def _scan_rows(sub: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized _scan_line over EVERY row of a despeckled dark matrix in
+    one flat pass: run-length-encode all rows with row-offset-separated
+    bounds, slide the 5-run 1:1:3:1:1 ratio window over the concatenated
+    widths, and mask windows that cross a row boundary.  Returns
+    (row_index, center_x) arrays in row-major window order — the exact
+    candidate order the per-row loop produced (dedup depends on it).
+    Replaces ~40 per-row numpy calls/page (~70 µs call overhead each) with
+    one O(total runs) pass."""
+    R, W = sub.shape
+    if R == 0 or W == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    d8 = sub.astype(np.int8)
+    rows_idx, cols_idx = np.nonzero(d8[:, 1:] != d8[:, :-1])
+    counts = np.bincount(rows_idx, minlength=R)  # transitions per row
+    nb = counts + 2  # bounds per row: [0, changes+1..., W]
+    off = np.concatenate(([0], np.cumsum(nb)))
+    flat = np.empty(off[-1], dtype=np.int64)
+    flat[off[:-1]] = 0
+    flat[off[1:] - 1] = W
+    row_start = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    rank = np.arange(len(rows_idx)) - np.repeat(row_start, counts)
+    flat[off[rows_idx] + 1 + rank] = cols_idx + 1
+    widths_all = np.diff(flat)  # row r's widths: indices off[r] .. off[r]+nb[r]-2
+    # valid 5-run window starts per row: off[r] .. off[r]+nb[r]-6
+    wcounts = np.maximum(nb - 5, 0)
+    if int(wcounts.sum()) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    row_of_win = np.repeat(np.arange(R), wcounts)
+    wstart = np.concatenate(([0], np.cumsum(wcounts)))[:-1]
+    j = off[row_of_win] + (np.arange(len(row_of_win)) - np.repeat(wstart, wcounts))
+    win = np.lib.stride_tricks.sliding_window_view(widths_all, 5)[j]
+    unit = win.sum(axis=1) / 7.0
+    ok = (np.abs(win - unit[:, None] * _RATIO_WANT) <= (unit * 0.6)[:, None]).all(axis=1)
+    # window must start on a dark run (runs alternate from the row's first pixel)
+    i = j - off[row_of_win]
+    ok &= (i % 2 == 0) == sub[row_of_win, 0]
+    hit = np.flatnonzero(ok)
+    jj = j[hit]
+    cx = flat[jj] + win[hit].sum(axis=1) // 2
+    return row_of_win[hit], cx
+
+
 def detect_finder_centers(img: np.ndarray, stride: int = 1) -> list[tuple[int, int]]:
     """Scan rows (every ``stride``-th — the finder's middle band is 3 modules
     = 12 px tall, so stride ≤ 4 cannot miss it) for the ratio, cross-check
     the column through each candidate, dedup centers closer than 10 px
     (pdf_processor.py:774-780).
 
-    Vectorized prefilter: per-row dark/light transition counts for ALL rows
-    in one numpy pass; only rows with enough transitions to contain the
-    5-run pattern (≥ 4) get the per-row python scan — on text/table pages
-    that eliminates ~all rows, ~4× decode speedup.  Deliberately NO upper
-    bound: a finder sharing rows with busy content (dashes, a barcode, dense
-    text) must still be scanned — the ratio test rejects the non-QR windows."""
-    dark = img < 128
-    sub = _despeckle_rows(dark[::stride])  # batch the 3-tap filter
+    Row scanning is fully batched (_scan_rows): every row's run-length
+    ratio test happens in one flat numpy pass, so there is no per-row python
+    cost and deliberately NO upper transition bound — a finder sharing rows
+    with busy content (dashes, a barcode, dense text) is still scanned and
+    the ratio test rejects the non-QR windows.  Only the rare column
+    cross-checks use the per-line scan."""
+    # threshold only the scanned rows (stride 4 → ¼ of the image's bytes);
+    # a full-image dark mask would be pure wasted memory bandwidth — at 8+
+    # concurrent decoders per host the VM's memory bus, not CPU, caps decode
+    # throughput (BENCH/decode-ceiling.json)
+    sub = _despeckle_rows(img[::stride] < 128)  # batch the 3-tap filter
     # column scans are rare (only through row-pattern candidates) —
-    # despeckle those columns lazily instead of filtering the whole image
+    # threshold + despeckle those columns lazily
     col_cache: dict[int, np.ndarray] = {}
 
     def col(cx: int) -> np.ndarray:
         if cx not in col_cache:
-            col_cache[cx] = _despeckle_1d(dark[:, cx])
+            col_cache[cx] = _despeckle_1d(img[:, cx] < 128)
         return col_cache[cx]
 
-    trans = np.abs(np.diff(sub.astype(np.int8), axis=1)).sum(axis=1)
-    cand_rows = np.flatnonzero(trans >= 4)
     candidates: list[tuple[int, int]] = []
-    for rr in cand_rows:
-        y = int(rr) * stride
-        for cx, _w in _scan_line(sub[rr]):
-            col_hits = _scan_line(col(cx))
-            for cy, _h in col_hits:
-                if abs(cy - y) <= _h:  # the row we scanned crosses this pattern
-                    candidates.append((cx, cy))
+    for rr, cx in zip(*(a.tolist() for a in _scan_rows(sub))):
+        y = rr * stride
+        col_hits = _scan_line(col(cx))
+        for cy, _h in col_hits:
+            if abs(cy - y) <= _h:  # the row we scanned crosses this pattern
+                candidates.append((cx, cy))
     centers: list[tuple[int, int]] = []
     for cx, cy in candidates:
         if all(math.hypot(cx - x, cy - y) > 10 for x, y in centers):

@@ -86,3 +86,35 @@ class TestIdcardCrop:
         page = np.full((200, 300), 255, dtype=np.uint8)
         card = idcard_crop(page, (10, 100, 30, 120))
         assert card.shape == (80, 116)  # (y2 - (y2-4*20)) x (5.8*20)
+
+
+class TestScanRowsDifferential:
+    """The batched row scanner must reproduce the per-line scanner exactly —
+    same hits, same row-major order (candidate dedup depends on order)."""
+
+    def test_matches_per_line_scan_on_random_and_structured_pages(self):
+        from engine.qr import _despeckle_rows, _scan_line, _scan_rows, render_qr_page
+
+        rng = np.random.default_rng(7)
+        for trial in range(60):
+            kind = trial % 4
+            R, W = int(rng.integers(1, 40)), int(rng.integers(1, 200))
+            if kind == 0:
+                img = rng.integers(0, 256, (R, W)).astype(np.uint8)
+            elif kind == 1:
+                img = np.full((R, W), 255, np.uint8)
+                for _ in range(int(rng.integers(0, 8))):
+                    r0, c0 = int(rng.integers(0, R)), int(rng.integers(0, W))
+                    img[r0, c0 : c0 + int(rng.integers(1, 30))] = 0
+            elif kind == 2:
+                img = render_qr_page(rotation=int(rng.choice([0, 90, 180, 270])))
+            else:
+                img = np.zeros((R, W), np.uint8)
+            sub = _despeckle_rows(img < 128)
+            want = [
+                (rr, cx)
+                for rr in range(sub.shape[0])
+                for cx, _w in _scan_line(sub[rr])
+            ]
+            rrs, cxs = _scan_rows(sub)
+            assert list(zip(rrs.tolist(), cxs.tolist())) == want
