@@ -229,7 +229,16 @@ def parse_invoice_table(html: Column) -> Column:
     """
     from engine.schema import ITEM_STRUCT
 
-    rows = html_rows(html)
+    # LET-BIND the tokenized rows (single-element array + transform, as in
+    # _item_struct): every `header` reference below would otherwise re-run
+    # the full html_rows regexp tokenization — once per array_position call,
+    # per field, per row.
+    return F.element_at(F.transform(F.array(html_rows(html)), _invoice_items), 1)
+
+
+def _invoice_items(rows: Column) -> Column:
+    from engine.schema import ITEM_STRUCT
+
     header = F.element_at(rows, 1)
     data = F.slice(rows, 2, 100000)
 
