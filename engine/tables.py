@@ -102,26 +102,33 @@ def parse_janzour_footer(html: Column) -> Column:
     """4-column footer table: the row containing الصافي carries
     [label, net_total, paid, amount_due] (table_parser.py:147-181).
     Returns struct(net_total_amount, paid, amount_due) — nulls when absent."""
-    rows = html_rows(html)
-    net_rows = F.filter(rows, lambda r: F.exists(r, lambda c: c.contains(NET_LIT)))
-    row = F.try_element_at(net_rows, F.lit(1))
-    # try_element_at: a short الصافي row (< 4 cells) yields nulls instead of
-    # aborting the job under ANSI mode (X3/J5 failure isolation — one
-    # malformed table must never fail the stage).
-    pick = lambda i: F.try_element_at(row, F.lit(i))  # noqa: E731
-    empty = F.lit(None).cast("string")
-    return F.when(
-        F.size(net_rows) > 0,
-        F.struct(
-            pick(2).alias("net_total_amount"),
-            pick(3).alias("paid"),
-            pick(4).alias("amount_due"),
-        ),
-    ).otherwise(
-        F.struct(
-            empty.alias("net_total_amount"), empty.alias("paid"), empty.alias("amount_due")
+
+    def build(net_rows: Column) -> Column:
+        # LET-BOUND net_rows: the naive form re-ran html_rows + filter for
+        # every picked field (no CSE inside when-branches)
+        row = F.try_element_at(net_rows, F.lit(1))
+        # try_element_at: a short الصافي row (< 4 cells) yields nulls instead
+        # of aborting the job under ANSI mode (X3/J5 failure isolation — one
+        # malformed table must never fail the stage).
+        pick = lambda i: F.try_element_at(row, F.lit(i))  # noqa: E731
+        empty = F.lit(None).cast("string")
+        return F.when(
+            F.size(net_rows) > 0,
+            F.struct(
+                pick(2).alias("net_total_amount"),
+                pick(3).alias("paid"),
+                pick(4).alias("amount_due"),
+            ),
+        ).otherwise(
+            F.struct(
+                empty.alias("net_total_amount"), empty.alias("paid"), empty.alias("amount_due")
+            )
         )
+
+    net_rows = F.filter(
+        html_rows(html), lambda r: F.exists(r, lambda c: c.contains(NET_LIT))
     )
+    return F.element_at(F.transform(F.array(net_rows), build), 1)
 
 
 def _pad(cells: Column, n: int) -> Column:
@@ -280,12 +287,16 @@ def _invoice_items(rows: Column) -> Column:
 def parse_section_subtotal(html: Column) -> Column:
     """Last الإجمالي row's last non-empty numeric-ish cell — the section
     subtotal (janzour tables end with an الإجمالي row)."""
-    rows = html_rows(html)
-    sub_rows = F.filter(rows, lambda r: _row_has(r, SUBTOTAL_LIT))
-    last = F.try_element_at(sub_rows, F.lit(-1))
-    vals = F.filter(last, lambda c: (c != "") & ~c.contains(SUBTOTAL_LIT))
-    # try_element_at: an الإجمالي row whose only non-empty cell IS the label
-    # leaves vals empty — null subtotal, not an ANSI abort.
-    return F.when(F.size(sub_rows) > 0, F.try_element_at(vals, F.lit(-1))).otherwise(
-        F.lit(None).cast("string")
-    )
+
+    def build(sub_rows: Column) -> Column:
+        # LET-BOUND sub_rows (naive form re-tokenized per reference)
+        last = F.try_element_at(sub_rows, F.lit(-1))
+        vals = F.filter(last, lambda c: (c != "") & ~c.contains(SUBTOTAL_LIT))
+        # try_element_at: an الإجمالي row whose only non-empty cell IS the
+        # label leaves vals empty — null subtotal, not an ANSI abort.
+        return F.when(F.size(sub_rows) > 0, F.try_element_at(vals, F.lit(-1))).otherwise(
+            F.lit(None).cast("string")
+        )
+
+    sub_rows = F.filter(html_rows(html), lambda r: _row_has(r, SUBTOTAL_LIT))
+    return F.element_at(F.transform(F.array(sub_rows), build), 1)
