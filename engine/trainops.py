@@ -965,6 +965,135 @@ def text_tokens(spark, sf_dir):
     )
 
 
+REPETITION_SQL = """
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1])) AS g
+      FROM words WHERE len(w) >= 2
+    ),
+    bgc AS (
+      SELECT doc_id, source, g, count(*) AS c FROM bg GROUP BY doc_id, source, g
+    ),
+    bg_doc AS (
+      SELECT doc_id, source, max(c) AS top_bg, sum(c) AS total_bg
+      FROM bgc GROUP BY doc_id, source
+    ),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      FROM words WHERE len(w) >= 3
+    ),
+    tg_doc AS (
+      SELECT doc_id, count(DISTINCT g) AS distinct_tg, count(*) AS total_tg
+      FROM tg GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id, unnest(w) AS word,
+             generate_subscripts(w, 1) AS pos
+      FROM words
+    ),
+    new_runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN word IS DISTINCT FROM
+                       lag(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM tok
+    ),
+    runs AS (
+      SELECT doc_id,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM new_runs
+    ),
+    run_doc AS (
+      SELECT doc_id, max(run_len) AS max_word_run FROM (
+        SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, run_id
+      ) GROUP BY doc_id
+    )
+    SELECT b.source,
+           count(*) AS docs,
+           round(CAST(sum(b.top_bg) AS DOUBLE) / sum(b.total_bg), 6) AS top_bigram_ratio,
+           round(1.0 - CAST(sum(t.distinct_tg) AS DOUBLE) / sum(t.total_tg), 6)
+             AS dup_trigram_ratio,
+           CAST(max(r.max_word_run) AS BIGINT) AS max_word_run,
+           CAST(sum(CASE WHEN CAST(b.top_bg AS DOUBLE) / b.total_bg > 0.05
+                          OR 1.0 - CAST(t.distinct_tg AS DOUBLE) / t.total_tg > 0.3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs
+    FROM bg_doc b
+    JOIN tg_doc t USING (doc_id)
+    JOIN run_doc r USING (doc_id)
+    GROUP BY b.source
+"""
+
+
+def text_repetition(spark, sf_dir):
+    """Training-data repetition filters (Gopher/C4-style degenerate-text
+    signals) per source: top-bigram occurrence ratio, duplicate-trigram
+    ratio, longest same-word run, and a flagged-doc count over per-doc
+    thresholds (top-bigram > 5% or dup-trigram > 30%).
+
+    Unregistered (the driver scores only 50 queries and the window is full);
+    oracle-grade evidence lives in tests/test_trainops_plans.py::
+    test_text_repetition_matches_duckdb_oracle, which runs REPETITION_SQL
+    through the same compare the driver uses.  All aggregations are integer
+    sums with one final division, so the cross-engine hash is deterministic.
+    Scale shape: two explode → equi-key groupBys and one per-doc window —
+    no self-joins, no skewed keys beyond doc size itself."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = F.split("text", " ")
+
+    grams = lambda n: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]),
+    )
+    bg_doc = (
+        d.filter(F.size(w) >= 2)
+        .select("doc_id", "source", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "source", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "source")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("total_bg"))
+    )
+    tg_doc = (
+        d.filter(F.size(w) >= 3)
+        .select("doc_id", F.explode(grams(3)).alias("g"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("distinct_tg"), F.count("*").alias("total_tg"))
+    )
+    tok = d.select("doc_id", F.posexplode(w).alias("pos", "word"))
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    runs = tok.withColumn(
+        "is_new",
+        F.when(~F.col("word").eqNullSafe(F.lag("word").over(by_pos)), 1).otherwise(0),
+    ).withColumn("run_id", F.sum("is_new").over(by_pos))
+    run_doc = (
+        runs.groupBy("doc_id", "run_id")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_word_run"))
+    )
+    per_doc = bg_doc.join(tg_doc, "doc_id").join(run_doc, "doc_id")
+    flagged = (
+        (F.col("top_bg").cast("double") / F.col("total_bg") > 0.05)
+        | (F.lit(1.0) - F.col("distinct_tg").cast("double") / F.col("total_tg") > 0.3)
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.round(F.sum("top_bg").cast("double") / F.sum("total_bg"), 6).alias(
+            "top_bigram_ratio"
+        ),
+        F.round(
+            F.lit(1.0) - F.sum("distinct_tg").cast("double") / F.sum("total_tg"), 6
+        ).alias("dup_trigram_ratio"),
+        F.max("max_word_run").cast("bigint").alias("max_word_run"),
+        F.sum(flagged.cast("bigint")).alias("flagged_docs"),
+    )
+
+
 @_q(
     "text_fingerprint",
     "text analysis — document fingerprinting: md5 of whitespace-normalized "

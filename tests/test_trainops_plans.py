@@ -90,3 +90,41 @@ def test_connected_components_raises_instead_of_partial_labels(spark):
         trainops.connected_components(
             _chain_edges(spark, 12), max_iterations=3, check_every=3
         )
+
+
+def test_text_repetition_matches_duckdb_oracle(spark):
+    """text_repetition is unregistered (driver window is at its 50-query cap)
+    so its oracle-parity evidence lives here: same compare as the driver
+    (row count + columns + order-insensitive canonical values) against
+    REPETITION_SQL at sf0.01."""
+    from tests.parity import compare, duck_conn
+
+    sf = "/root/testdata/sf0.01"
+    con = duck_conn(sf)
+    try:
+        ok, msg = compare(trainops.text_repetition(spark, sf), con, trainops.REPETITION_SQL)
+    finally:
+        con.close()
+    assert ok, msg
+
+
+def test_text_repetition_flags_degenerate_docs(spark):
+    """A degenerate doc (one bigram looping) must be flagged; a normal doc
+    must not; the repeated-word run length must be exact."""
+    rows = [
+        {"doc_id": 1, "source": "s", "text": "spam ham " * 50 + "end"},
+        {"doc_id": 2, "source": "t", "text": " ".join(f"w{i}" for i in range(60))},
+        {"doc_id": 3, "source": "u", "text": "a b c d e f g go go go go stop"},
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    # run the per-doc pipeline by pointing load() at a temp dir
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["source"]: r.asDict() for r in trainops.text_repetition(spark, d).collect()}
+    assert out["s"]["flagged_docs"] == 1      # top bigram "spam ham" ≈ 50%
+    assert out["t"]["flagged_docs"] == 0
+    assert out["u"]["max_word_run"] == 4      # "go go go go"
