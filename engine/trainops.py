@@ -1030,20 +1030,17 @@ REPETITION_SQL = """
 """
 
 
-def text_repetition(spark, sf_dir):
-    """Training-data repetition filters (Gopher/C4-style degenerate-text
-    signals) per source: top-bigram occurrence ratio, duplicate-trigram
-    ratio, longest same-word run, and a flagged-doc count over per-doc
-    thresholds (top-bigram > 5% or dup-trigram > 30%).
+def repetition_flags(d: DataFrame) -> DataFrame:
+    """Per-doc repetition signals over (doc_id, source, text) — the
+    composable form a filtering pipeline actually joins/anti-joins on:
+    (doc_id, source, top_bg, total_bg, distinct_tg, total_tg, max_word_run,
+    flagged).  Counters are integers; `flagged` applies the Gopher-style
+    per-doc thresholds (top-bigram occurrence > 5% of bigrams, or duplicate
+    trigrams > 30% of trigram occurrences).
 
-    Unregistered (the driver scores only 50 queries and the window is full);
-    oracle-grade evidence lives in tests/test_trainops_plans.py::
-    test_text_repetition_matches_duckdb_oracle, which runs REPETITION_SQL
-    through the same compare the driver uses.  All aggregations are integer
-    sums with one final division, so the cross-engine hash is deterministic.
-    Scale shape: two explode → equi-key groupBys and one per-doc window —
-    no self-joins, no skewed keys beyond doc size itself."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    Scale shape: two n-gram explode → equi-key groupBys and one per-doc
+    lag/cumsum window for run detection — no self-joins, no skewed keys
+    beyond doc size itself."""
     w = F.split("text", " ")
 
     grams = lambda n: F.transform(  # noqa: E731
@@ -1076,11 +1073,31 @@ def text_repetition(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.max("run_len").alias("max_word_run"))
     )
-    per_doc = bg_doc.join(tg_doc, "doc_id").join(run_doc, "doc_id")
     flagged = (
         (F.col("top_bg").cast("double") / F.col("total_bg") > 0.05)
         | (F.lit(1.0) - F.col("distinct_tg").cast("double") / F.col("total_tg") > 0.3)
     )
+    return (
+        bg_doc.join(tg_doc, "doc_id")
+        .join(run_doc, "doc_id")
+        .withColumn("flagged", flagged)
+    )
+
+
+def text_repetition(spark, sf_dir):
+    """Training-data repetition filters (Gopher/C4-style degenerate-text
+    signals) aggregated per source: top-bigram occurrence ratio,
+    duplicate-trigram ratio, longest same-word run, and the flagged-doc
+    count from repetition_flags' per-doc thresholds.
+
+    Unregistered (the driver scores only 50 queries and the window is full);
+    oracle-grade evidence lives in tests/test_trainops_plans.py::
+    test_text_repetition_matches_duckdb_oracle, which runs REPETITION_SQL
+    through the same compare the driver uses.  All aggregations are integer
+    sums with one final division, so the cross-engine hash is
+    deterministic."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per_doc = repetition_flags(d)
     return per_doc.groupBy("source").agg(
         F.count("*").alias("docs"),
         F.round(F.sum("top_bg").cast("double") / F.sum("total_bg"), 6).alias(
@@ -1090,7 +1107,7 @@ def text_repetition(spark, sf_dir):
             F.lit(1.0) - F.sum("distinct_tg").cast("double") / F.sum("total_tg"), 6
         ).alias("dup_trigram_ratio"),
         F.max("max_word_run").cast("bigint").alias("max_word_run"),
-        F.sum(flagged.cast("bigint")).alias("flagged_docs"),
+        F.sum(F.col("flagged").cast("bigint")).alias("flagged_docs"),
     )
 
 

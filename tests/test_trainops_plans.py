@@ -128,3 +128,32 @@ def test_text_repetition_flags_degenerate_docs(spark):
     assert out["s"]["flagged_docs"] == 1      # top bigram "spam ham" ≈ 50%
     assert out["t"]["flagged_docs"] == 0
     assert out["u"]["max_word_run"] == 4      # "go go go go"
+
+
+def test_repetition_flags_per_doc_composable(spark):
+    """repetition_flags returns one row per doc with integer counters and a
+    boolean flag — joinable/anti-joinable by a filtering pipeline."""
+    import pandas as pd
+
+    rows = [
+        {"doc_id": 1, "source": "s", "text": "spam ham " * 50 + "end"},
+        {"doc_id": 2, "source": "t", "text": " ".join(f"w{i}" for i in range(60))},
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in trainops.repetition_flags(
+            spark.createDataFrame(pd.DataFrame(rows))
+        ).collect()
+    }
+    assert out[1]["flagged"] is True and out[2]["flagged"] is False
+    assert out[1]["top_bg"] + out[1]["total_bg"] > 0
+    kept = (
+        spark.createDataFrame(pd.DataFrame(rows))
+        .join(
+            trainops.repetition_flags(spark.createDataFrame(pd.DataFrame(rows)))
+            .filter("flagged").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [2]
