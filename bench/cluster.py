@@ -300,7 +300,9 @@ def main() -> None:
     print(json.dumps(result))
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     (REPO / "BENCH").mkdir(exist_ok=True)
-    suffix = "-bitmap" if args.bitmap_only else ""
+    # partial runs get their own files so a --skip-bitmap rerun can't clobber
+    # a previously recorded combined/bitmap result (and vice versa)
+    suffix = "-bitmap" if args.bitmap_only else "-pipeline" if args.skip_bitmap else ""
     (REPO / "BENCH" / f"cluster-{n}x{cpe}{suffix}.json").write_text(
         json.dumps({"generated": stamp, **result}, indent=2) + "\n"
     )

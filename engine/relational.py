@@ -68,6 +68,28 @@ def registry() -> list[Q]:
     return sorted(_REGISTRY, key=lambda q: q.priority)  # stable: ties keep order
 
 
+# Oracle'd but OUTSIDE the driver's 50-row window.  Window policy
+# (COVERAGE.md §"Query-window budget"): the scoreboard is a fixed-size
+# budget, so a retired query moves HERE — it keeps its DuckDB oracle and is
+# run through the driver-identical compare by
+# tests/test_oracle_parity.py::test_local_query_matches_oracle every
+# session.  Retirement never means untested (round-4 lesson: four functions
+# sat unregistered with zero coverage).
+_LOCAL_REGISTRY: list[Q] = []
+
+
+def _local_q(name: str, survey: str, sql: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _LOCAL_REGISTRY.append(Q(name, survey, fn, sql, priority=10_000))
+        return fn
+
+    return deco
+
+
+def local_registry() -> list[Q]:
+    return sorted(_LOCAL_REGISTRY, key=lambda q: q.name)
+
+
 def _cents(col):
     """Exact money math across engines: floor(x*100) as int64.
 
@@ -428,10 +450,20 @@ def a1_hash_agg_pricing(spark, sf_dir):
     )
 
 
-# (a1_rollup_pricing retired round 4 to fit the driver's 50-query window:
-# GROUP BY ROLLUP is a Spark built-in with zero custom work here — A1 stays
-# attested by a1_hash_agg_pricing; rollup had a green r3 row, retained below
-# unregistered for local use.)
+# Retired from the driver window round 4 (GROUP BY ROLLUP is a Spark
+# built-in with zero custom work here — A1 stays attested by
+# a1_hash_agg_pricing; rollup had a green r3 row); local-oracle'd since r5.
+@_local_q(
+    "a1_rollup_pricing",
+    "A1 note — metrics rollup via GROUP BY ROLLUP (built-in, zero custom work; "
+    "the metrics-table rollup from SURVEY §2.5)",
+    """
+    SELECT coalesce(l_returnflag, '∅') AS rf, coalesce(l_linestatus, '∅') AS ls,
+           sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,
+           count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
 def a1_rollup_pricing(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (
@@ -620,7 +652,10 @@ def w3_ordered_reassembly(spark, sf_dir):
     )
 
 
-@_q(
+# Retired from the driver window round 5 to free a scoreboard slot for
+# train_corpus_filtered/text_repetition (COVERAGE.md §window budget): the
+# 2-row invariant is the weakest signal in the window; stays local-oracle'd.
+@_local_q(
     "j2_positional_zip",
     "J2 — positional pairing: per-order line numbers must form the contiguous "
     "sequence 1..n (zip(batch_jobs, raw_results) invariant, "
@@ -673,7 +708,10 @@ def w2_word_dedup(spark, sf_dir):
     )
 
 
-@_q(
+# Retired from the driver window round 5 (COVERAGE.md §window budget): T1's
+# 0-exchange TakeOrdered shape + values stay pinned locally
+# (test_oracle_parity: local parity + test_topk_plan_is_take_ordered).
+@_local_q(
     "t1_topk_orders",
     "T1 — deterministic top-k (only sort in the system is per-doc ordering; "
     "exposed relationally as global top-k)",

@@ -234,8 +234,6 @@ def parse_invoice_table(html: Column) -> Column:
     الإجمالي, or span columns (fewer cells than the header — the colspan-skip
     rule, table_parser.py:119-122) are dropped.
     """
-    from engine.schema import ITEM_STRUCT
-
     # LET-BIND the tokenized rows (single-element array + transform, as in
     # _item_struct): every `header` reference below would otherwise re-run
     # the full html_rows regexp tokenization — once per array_position call,

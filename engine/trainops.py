@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from engine.relational import _q, load
+from engine.relational import PRIORITY_FLAGSHIP, _local_q, _q, load
 
 # --- shared corpus augmentation (exact copy + near-dup copy) ---------------
 
@@ -85,14 +85,19 @@ def _shingles(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.explode(F.array_distinct(tri)).alias("shingle"))
 
 
-_SHINGLE_SQL = """
+def _shingle_sql(src: str = "aug") -> str:
+    """Oracle-side twin of _shingles over table/CTE ``src``."""
+    return f"""
       SELECT doc_id,
              unnest(list_distinct(list_transform(
                generate_series(1, len(toks) - 2),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM aug)
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
       WHERE len(toks) >= 3
 """
+
+
+_SHINGLE_SQL = _shingle_sql()
 
 
 # =========================================================================
@@ -134,7 +139,14 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    sh = _shingles(_augmented(spark, sf_dir))
+    return _minhash_pairs(_augmented(spark, sf_dir))
+
+
+def _minhash_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash+LSH candidate pairs (doc_a, doc_b, shared_bands) over any
+    (doc_id, text) frame — the reusable core of dedup_minhash_lsh, also
+    composed by train_corpus_filtered over its pre-filtered survivors."""
+    sh = _shingles(docs)
     # One aggregation pass computes all 4 band minima (4 min-exprs over the
     # same shingle rows), then posexplode to (band, sig) rows.  Wall-neutral
     # at sf0.1/32c (md5 compute dominates; interleaved A/B best-of-3: 6.24 s
@@ -750,10 +762,27 @@ def sim_lsh_hyperplane(spark, sf_dir):
     )
 
 
-# (sim_lsh_multiprobe retired from the registry round 4 to fit the driver's
-# 50-query window: the single-query multi-probe shape is a special case of
-# sim_batch_topk's probe expansion, which stays registered; this function
-# remains for local use and had a green r3 row.)
+# Retired from the driver window round 4 (the single-query multi-probe shape
+# is a special case of sim_batch_topk's probe expansion, which stays
+# registered; green r3 row); local-oracle'd since r5.
+@_local_q(
+    "sim_lsh_multiprobe",
+    "similarity search — multi-probe LSH ANN: candidates = vectors whose "
+    "sign-bucket is within Hamming distance 1 of the query's bucket (probe "
+    "the home bucket + its 8 single-bit neighbors), then exact cosine top-k "
+    "— the recall-recovery step that makes single-table LSH usable at scale",
+    f"""
+    WITH bl AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
+    ),
+    q AS (SELECT embedding, bucket FROM bl WHERE vec_id = 0)
+    SELECT e.vec_id, {_COS_SQL} AS cos
+    FROM bl e, q
+    WHERE e.vec_id <> 0
+      AND bit_count(xor(e.bucket::BIGINT, q.bucket::BIGINT)) <= 1
+    ORDER BY cos DESC, e.vec_id LIMIT 10
+    """,
+)
 def sim_lsh_multiprobe(spark, sf_dir):
     emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_col(F.col("embedding")))
     q = F.broadcast(
@@ -871,9 +900,23 @@ def _hits_sql(col: str, words: list[str]) -> str:
     )
 
 
-# (text_langid retired from the registry round 4 to fit the driver's 50-query
-# window: the stopword variant is redundant with text_langid_ngram, which
-# stays registered; this function remains for local use, green r3 row.)
+# Retired from the driver window round 4 (the stopword variant is redundant
+# with text_langid_ngram, which stays registered; green r3 row);
+# local-oracle'd since r5.
+@_local_q(
+    "text_langid",
+    "text analysis — n-gram/stopword language-ID heuristic → confusion matrix "
+    "vs the labeled lang column",
+    f"""
+    SELECT lang,
+           CASE WHEN en > es THEN 'en' WHEN es > en THEN 'es' ELSE 'und' END AS pred,
+           count(*) AS cnt
+    FROM (
+      SELECT lang, {_hits_sql('text', _EN_STOPS)} AS en, {_hits_sql('text', _ES_STOPS)} AS es
+      FROM documents
+    ) GROUP BY lang, pred
+    """,
+)
 def text_langid(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     en = _hits(F.col("text"), _EN_STOPS)
@@ -952,10 +995,18 @@ def text_quality(spark, sf_dir):
     )
 
 
-# (text_tokens retired from the registry round 4 to fit the driver's 50-query
-# window: whitespace counting is redundant with text_tokens_bpe — and
-# text_quality also aggregates whitespace token counts; remains for local
-# use, green r3 row.)
+# Retired from the driver window round 4 (whitespace counting is redundant
+# with text_tokens_bpe, and text_quality also aggregates whitespace token
+# counts; green r3 row); local-oracle'd since r5.
+@_local_q(
+    "text_tokens",
+    "text analysis — token counting: total + distinct whitespace tokens per source",
+    """
+    SELECT source, count(*) AS total_tokens, count(DISTINCT tok) AS distinct_tokens
+    FROM (SELECT source, u.tok FROM documents, UNNEST(string_split(text, ' ')) AS u(tok))
+    GROUP BY source
+    """,
+)
 def text_tokens(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return (
@@ -965,22 +1016,27 @@ def text_tokens(spark, sf_dir):
     )
 
 
-REPETITION_SQL = """
-    WITH words AS (
-      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+def _rep_doc_ctes(src: str) -> str:
+    """Per-doc repetition-counter CTE chain over table/CTE ``src`` (must have
+    doc_id + text): ends with bg_doc / tg_doc / run_doc, the left-joinable
+    counter tables mirroring repetition_flags.  Shared by REPETITION_SQL and
+    the corpus-curation oracle."""
+    return f"""
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM {src}
     ),
     bg AS (
-      SELECT doc_id, source,
+      SELECT doc_id,
              unnest(list_transform(generate_series(1, len(w) - 1),
                                    i -> w[i] || ' ' || w[i+1])) AS g
       FROM words WHERE len(w) >= 2
     ),
     bgc AS (
-      SELECT doc_id, source, g, count(*) AS c FROM bg GROUP BY doc_id, source, g
+      SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
     ),
     bg_doc AS (
-      SELECT doc_id, source, max(c) AS top_bg, sum(c) AS total_bg
-      FROM bgc GROUP BY doc_id, source
+      SELECT doc_id, max(c) AS top_bg, sum(c) AS total_bg
+      FROM bgc GROUP BY doc_id
     ),
     tg AS (
       SELECT doc_id,
@@ -1013,20 +1069,30 @@ REPETITION_SQL = """
       SELECT doc_id, max(run_len) AS max_word_run FROM (
         SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, run_id
       ) GROUP BY doc_id
-    )
-    SELECT b.source,
+    )"""
+
+
+# Per-doc flag expression over left-joined counters (aliases b = bg_doc,
+# t = tg_doc): a doc too short to HAVE bigrams/trigrams is NOT flagged —
+# per-side coalesce, mirroring repetition_flags.
+_REP_FLAG_SQL = """coalesce(CAST(b.top_bg AS DOUBLE) / b.total_bg > 0.05, FALSE)
+                OR coalesce(1.0 - CAST(t.distinct_tg AS DOUBLE) / t.total_tg > 0.3, FALSE)"""
+
+
+REPETITION_SQL = f"""
+    WITH {_rep_doc_ctes('documents')}
+    SELECT d.source,
            count(*) AS docs,
            round(CAST(sum(b.top_bg) AS DOUBLE) / sum(b.total_bg), 6) AS top_bigram_ratio,
            round(1.0 - CAST(sum(t.distinct_tg) AS DOUBLE) / sum(t.total_tg), 6)
              AS dup_trigram_ratio,
            CAST(max(r.max_word_run) AS BIGINT) AS max_word_run,
-           CAST(sum(CASE WHEN CAST(b.top_bg AS DOUBLE) / b.total_bg > 0.05
-                          OR 1.0 - CAST(t.distinct_tg AS DOUBLE) / t.total_tg > 0.3
-                         THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs
-    FROM bg_doc b
-    JOIN tg_doc t USING (doc_id)
-    JOIN run_doc r USING (doc_id)
-    GROUP BY b.source
+           CAST(sum(CASE WHEN {_REP_FLAG_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs
+    FROM documents d
+    LEFT JOIN bg_doc b USING (doc_id)
+    LEFT JOIN tg_doc t USING (doc_id)
+    LEFT JOIN run_doc r USING (doc_id)
+    GROUP BY d.source
 """
 
 
@@ -1037,6 +1103,11 @@ def repetition_flags(d: DataFrame) -> DataFrame:
     flagged).  Counters are integers; `flagged` applies the Gopher-style
     per-doc thresholds (top-bigram occurrence > 5% of bigrams, or duplicate
     trigrams > 30% of trigram occurrences).
+
+    EVERY input doc_id appears exactly once in the output: a doc too short
+    to have bigrams (<2 words) or trigrams (<3 words) carries NULL for those
+    counters and flagged=false (per-side coalesce) — so inner-joining a
+    pipeline on this frame never silently drops short docs.
 
     Scale shape: two n-gram explode → equi-key groupBys and one per-doc
     lag/cumsum window for run detection — no self-joins, no skewed keys
@@ -1049,10 +1120,10 @@ def repetition_flags(d: DataFrame) -> DataFrame:
     )
     bg_doc = (
         d.filter(F.size(w) >= 2)
-        .select("doc_id", "source", F.explode(grams(2)).alias("g"))
-        .groupBy("doc_id", "source", "g")
+        .select("doc_id", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id")
         .agg(F.max("c").alias("top_bg"), F.sum("c").alias("total_bg"))
     )
     tg_doc = (
@@ -1073,29 +1144,37 @@ def repetition_flags(d: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("run_len").alias("max_word_run"))
     )
-    flagged = (
-        (F.col("top_bg").cast("double") / F.col("total_bg") > 0.05)
-        | (F.lit(1.0) - F.col("distinct_tg").cast("double") / F.col("total_tg") > 0.3)
+    flagged = F.coalesce(
+        F.col("top_bg").cast("double") / F.col("total_bg") > 0.05, F.lit(False)
+    ) | F.coalesce(
+        F.lit(1.0) - F.col("distinct_tg").cast("double") / F.col("total_tg") > 0.3,
+        F.lit(False),
     )
     return (
-        bg_doc.join(tg_doc, "doc_id")
-        .join(run_doc, "doc_id")
+        d.select("doc_id", "source")
+        .join(bg_doc, "doc_id", "left")
+        .join(tg_doc, "doc_id", "left")
+        .join(run_doc, "doc_id", "left")
         .withColumn("flagged", flagged)
     )
 
 
+@_q(
+    "text_repetition",
+    "training-data repetition filters — Gopher/C4-style degenerate-text "
+    "signals per source: top-bigram ratio, duplicate-trigram ratio, longest "
+    "same-word run, flagged-doc count (per-doc API: repetition_flags)",
+    REPETITION_SQL,
+)
 def text_repetition(spark, sf_dir):
     """Training-data repetition filters (Gopher/C4-style degenerate-text
     signals) aggregated per source: top-bigram occurrence ratio,
     duplicate-trigram ratio, longest same-word run, and the flagged-doc
     count from repetition_flags' per-doc thresholds.
 
-    Unregistered (the driver scores only 50 queries and the window is full);
-    oracle-grade evidence lives in tests/test_trainops_plans.py::
-    test_text_repetition_matches_duckdb_oracle, which runs REPETITION_SQL
-    through the same compare the driver uses.  All aggregations are integer
-    sums with one final division, so the cross-engine hash is
-    deterministic."""
+    Registered round 5 (window slot freed by retiring j2_positional_zip —
+    COVERAGE.md §window budget).  All aggregations are integer sums with one
+    final division, so the cross-engine hash is deterministic."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     per_doc = repetition_flags(d)
     return per_doc.groupBy("source").agg(
@@ -1127,4 +1206,145 @@ def text_fingerprint(spark, sf_dir):
     fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
     return d.groupBy("source").agg(
         F.countDistinct(fp).alias("distinct_fps"), F.count("*").alias("cnt")
+    )
+
+
+# =========================================================================
+# End-to-end corpus curation: the nightly 100 TB training-data shape
+# =========================================================================
+
+CURATION_SQL = f"""
+    WITH RECURSIVE aug AS ({_AUG_SQL}),
+    {_rep_doc_ctes('aug')},
+    labeled AS (
+      SELECT a.doc_id, a.source,
+             CASE WHEN len(string_split(a.text, ' ')) NOT BETWEEN 10 AND 500
+                    THEN 'quality'
+                  WHEN {_REP_FLAG_SQL} THEN 'repetition'
+             END AS pre_reason
+      FROM aug a
+      LEFT JOIN bg_doc b USING (doc_id)
+      LEFT JOIN tg_doc t USING (doc_id)
+    ),
+    surv AS (
+      SELECT a.doc_id, a.text FROM aug a
+      JOIN labeled l USING (doc_id) WHERE l.pre_reason IS NULL
+    ),
+    sh AS ({_shingle_sql('surv')}),
+    sig AS (
+      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+      FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
+      GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b HAVING count(*) >= 2
+    ),
+    edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_a, doc_b FROM edges
+      UNION
+      SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+    SELECT l.source,
+           CASE WHEN l.pre_reason IS NOT NULL THEN 'dropped_' || l.pre_reason
+                WHEN c.comp IS NOT NULL AND c.comp <> l.doc_id THEN 'dropped_duplicate'
+                ELSE 'kept' END AS outcome,
+           count(*) AS docs
+    FROM labeled l LEFT JOIN comp c USING (doc_id)
+    GROUP BY l.source, outcome
+"""
+
+
+def _curation_outcomes(spark, sf_dir) -> DataFrame:
+    """Per-doc curation verdict (doc_id, source, text, outcome) — the full
+    training-data filtering pipeline composed end-to-end:
+
+      documents → quality filter (token-count window, cheapest first)
+                → repetition filter (Gopher/C4 per-doc flags, repetition_flags)
+                → MinHash-LSH candidate pairs over the SURVIVORS only
+                → connected components → keep-min-doc per duplicate cluster
+                → outcome ∈ {{dropped_quality, dropped_repetition,
+                             dropped_duplicate, kept}}
+
+    Scale notes (the order IS the optimization): the per-token quality check
+    runs first because it is a row-local projection; repetition flags cost
+    two n-gram groupBys but no self-join; only the docs surviving both reach
+    the shingle/minhash stage, so the LSH band join and the CC loop run on
+    the smallest possible frame.  Precedence is deterministic — a doc failing
+    quality is never also counted as a repetition or duplicate drop, and a
+    duplicate cluster's representative is chosen among FILTERED survivors
+    (dropping a low-quality doc never deletes its whole cluster's content:
+    the cluster min is re-elected among the kept members).
+    """
+    aug = _augmented(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " "))
+    docs = aug.withColumn(
+        "pre_reason", F.when((n_tokens < 10) | (n_tokens > 500), "quality")
+    )
+    qual_ok = docs.filter(F.col("pre_reason").isNull()).select(
+        "doc_id", "source", "text"
+    )
+    rep = repetition_flags(qual_ok).select("doc_id", "flagged")
+    labeled = docs.join(rep, "doc_id", "left").withColumn(
+        "pre_reason",
+        F.coalesce(F.col("pre_reason"), F.when(F.col("flagged"), "repetition")),
+    )
+    surv = labeled.filter(F.col("pre_reason").isNull()).select("doc_id", "text")
+    pairs = (
+        _minhash_pairs(surv)
+        .filter(F.col("shared_bands") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    comp = connected_components(edges)
+    return labeled.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "text",
+        F.when(
+            F.col("pre_reason").isNotNull(),
+            F.concat(F.lit("dropped_"), F.col("pre_reason")),
+        )
+        .when(
+            F.col("comp").isNotNull() & (F.col("comp") != F.col("doc_id")),
+            F.lit("dropped_duplicate"),
+        )
+        .otherwise(F.lit("kept"))
+        .alias("outcome"),
+    )
+
+
+def curated_corpus(spark, sf_dir) -> DataFrame:
+    """The materialized side of train_corpus_filtered: the kept documents
+    (doc_id, source, text) a downstream tokenizer run would read.  Write it
+    with engine.io.materialize-style partitioning in production; returned as
+    a frame here so tests/bench control the sink."""
+    return (
+        _curation_outcomes(spark, sf_dir)
+        .filter(F.col("outcome") == "kept")
+        .select("doc_id", "source", "text")
+    )
+
+
+@_q(
+    "train_corpus_filtered",
+    "END-TO-END training-data corpus curation: quality window → repetition "
+    "anti-filter → MinHash-LSH duplicate clusters (CC, keep-min-doc among "
+    "survivors) → per-source kept/dropped lineage counts",
+    CURATION_SQL,
+    priority=PRIORITY_FLAGSHIP,
+)
+def train_corpus_filtered(spark, sf_dir):
+    """Lineage-count rollup of _curation_outcomes — per (source, outcome)
+    document counts, the audit table a nightly corpus-curation run publishes
+    next to the curated corpus itself."""
+    return (
+        _curation_outcomes(spark, sf_dir)
+        .groupBy("source", "outcome")
+        .agg(F.count("*").alias("docs"))
     )

@@ -37,12 +37,14 @@ def test_registry_fits_driver_window():
     flagships = [q.name for q in registry() if q.priority <= PRIORITY_FLAGSHIP]
     assert set(flagships) <= set(names[:DRIVER_QUERY_CAP])
     for must in (
+        "train_corpus_filtered",
         "x_table_parse_service",
         "x_media_route_counts",
         "x_qr_rotation_hist",
         "x_documents_by_mode",
         "x_audit_documents",
         "x_audit_media_pixels",
+        "text_repetition",
     ):
         assert must in names[:DRIVER_QUERY_CAP], f"{must} evicted from driver window"
 
@@ -71,6 +73,43 @@ def test_query_matches_oracle(spark, con, name):
         return
     ok, msg = compare(df, con, _ORACLES[name])
     assert ok, f"{name}: {msg}"
+
+
+# --- queries retired from the driver window (COVERAGE.md §window budget) ---
+# Retirement never means untested: every unregistered-but-oracle'd function
+# lives in engine.relational.local_registry() and runs through the SAME
+# driver-identical compare here.  Adding a future retiree = move its @_q to
+# @_local_q; this test picks it up automatically.
+
+from engine.relational import local_registry  # noqa: E402
+
+_LOCAL = {q.name: q for q in local_registry()}
+
+
+def test_local_registry_disjoint_from_driver_window():
+    overlap = set(_LOCAL) & set(_QUERIES)
+    assert overlap == set(), f"registered in BOTH windows: {overlap}"
+
+
+@pytest.mark.parametrize("name", sorted(_LOCAL))
+def test_local_query_matches_oracle(spark, con, name):
+    q = _LOCAL[name]
+    ok, msg = compare(q.build(spark, SF_DIR), con, q.sql)
+    assert ok, f"{name}: {msg}"
+
+
+def test_topk_plan_is_take_ordered(spark):
+    """T1's scale property — global top-k with NO full sort/exchange — is a
+    plan shape, not a value: pin it here since the value check moved to the
+    local registry."""
+    plan = (
+        _LOCAL["t1_topk_orders"]
+        .build(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_entry_smoke(spark):

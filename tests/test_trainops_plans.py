@@ -92,20 +92,9 @@ def test_connected_components_raises_instead_of_partial_labels(spark):
         )
 
 
-def test_text_repetition_matches_duckdb_oracle(spark):
-    """text_repetition is unregistered (driver window is at its 50-query cap)
-    so its oracle-parity evidence lives here: same compare as the driver
-    (row count + columns + order-insensitive canonical values) against
-    REPETITION_SQL at sf0.01."""
-    from tests.parity import compare, duck_conn
-
-    sf = "/root/testdata/sf0.01"
-    con = duck_conn(sf)
-    try:
-        ok, msg = compare(trainops.text_repetition(spark, sf), con, trainops.REPETITION_SQL)
-    finally:
-        con.close()
-    assert ok, msg
+# (test_text_repetition_matches_duckdb_oracle removed round 5:
+# text_repetition entered the driver window, so its oracle parity now runs
+# with every other registered query in test_oracle_parity.py.)
 
 
 def test_text_repetition_flags_degenerate_docs(spark):
@@ -157,3 +146,69 @@ def test_repetition_flags_per_doc_composable(spark):
         )
     )
     assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_repetition_flags_covers_short_docs(spark):
+    """DOMAIN fix (round-5): every input doc_id appears exactly once —
+    docs too short for bigrams/trigrams carry NULL counters and
+    flagged=false instead of vanishing from the output (an inner-joining
+    consumer used to lose them silently)."""
+    import pandas as pd
+
+    rows = [
+        {"doc_id": 1, "source": "s", "text": "one"},          # no bigrams
+        {"doc_id": 2, "source": "s", "text": "two words"},    # no trigrams
+        {"doc_id": 3, "source": "s", "text": "three word doc"},
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in trainops.repetition_flags(
+            spark.createDataFrame(pd.DataFrame(rows))
+        ).collect()
+    }
+    assert sorted(out) == [1, 2, 3]
+    assert out[1]["top_bg"] is None and out[1]["flagged"] is False
+    assert out[2]["total_bg"] == 1 and out[2]["distinct_tg"] is None
+    # a 2-word doc's lone bigram is 100% of its bigrams, so the ratio
+    # threshold legitimately fires — tiny docs are the quality filter's job
+    # (which is why train_corpus_filtered applies the length window FIRST)
+    assert out[2]["flagged"] is True
+    assert out[3]["total_tg"] == 1
+
+
+def test_train_corpus_filtered_has_no_all_pairs_join(spark):
+    """The flagship curation composition must keep the bounded equi-join
+    property of its parts (pairs come from the LSH band join over
+    pre-filtered survivors, never a cartesian)."""
+    plan = (
+        trainops.train_corpus_filtered(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in _FORBIDDEN:
+        assert marker not in plan, f"plan contains {marker}:\n{plan[:2000]}"
+
+
+def test_curation_outcomes_partition_the_corpus(spark):
+    """Outcome lineage must be a PARTITION of the augmented universe:
+    every doc gets exactly one outcome, curated_corpus is exactly the
+    'kept' class, and precedence is quality > repetition > duplicate
+    (a quality-dropped doc never double-counts as a duplicate drop)."""
+    sf = "/root/testdata/sf0.001"
+    outcomes = trainops._curation_outcomes(spark, sf)
+    total_aug = trainops._augmented(spark, sf).count()
+    per_doc = outcomes.groupBy("doc_id").count().filter("count > 1").count()
+    assert per_doc == 0
+    counts = {
+        (r["source"], r["outcome"]): r["docs"]
+        for r in trainops.train_corpus_filtered(spark, sf).collect()
+    }
+    assert sum(counts.values()) == total_aug
+    kept = trainops.curated_corpus(spark, sf)
+    assert kept.count() == sum(v for (s, o), v in counts.items() if o == "kept")
+    assert set(kept.columns) == {"doc_id", "source", "text"}
+    # the augmentation injects exact copies (doc_id % 7) — with every base doc
+    # surviving the pre-filters its +200000 twin MUST be a duplicate drop, so
+    # the class is non-trivially exercised
+    assert sum(v for (s, o), v in counts.items() if o == "dropped_duplicate") > 0
