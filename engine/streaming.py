@@ -29,8 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from engine.assemble import reassemble
-from engine.metrics import conf_histogram_df, lineage_df, metrics_df
+from engine.io import derive_outputs
 from engine.pipeline import build_spine
 from engine.schema import SPAN_STRUCT, SPANS_SCHEMA
 
@@ -159,6 +158,34 @@ def windowed_event_metrics(
     )
 
 
+def stream_dedup_exact(
+    doc_stream: DataFrame, watermark: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming form of trainops.dedup_exact: keep the first-arriving doc per
+    content fingerprint, dropping later exact duplicates that arrive within
+    the watermark horizon of the first.
+
+    The batch operator groups the whole corpus by ``md5(text)``; its streaming
+    analogue cannot hold every fingerprint ever seen (state would grow without
+    bound — the thing that kills a continuous 100 TB ingest).  Spark's
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    event-time watermark passes the first arrival, so state is bounded by
+    (ingest rate × watermark) regardless of total stream length.  The trade is
+    explicit and standard for streaming ingest dedup: an exact duplicate
+    arriving later than the watermark horizon is re-admitted (downstream
+    nightly batch dedup_exact catches those — this operator is the
+    high-frequency front line, not the only line).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        doc_stream.withColumn("fp", F.md5("text"))  # same fp as dedup_exact
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 def stream_extraction(
     spark: SparkSession,
     spans_source_dir: str,
@@ -186,15 +213,26 @@ def stream_extraction(
         batch=N subdirectory, so a batch replayed after a crash (foreachBatch
         is at-least-once) lands on the same path instead of appending
         duplicates — file-sink exactly-once semantics without a transaction
-        log (on a cluster this is an Iceberg overwrite-by-filter)."""
-        spine = build_spine(batch_df.sparkSession, batch_df, blobs)
-        for name, df in (
-            ("spans_out", reassemble(spine)),
-            ("lineage", lineage_df(spine, run_id)),
-            ("metrics", metrics_df(spine, run_id)),
-            ("conf_hist", conf_histogram_df(spine, run_id)),
-        ):
-            df.write.mode("overwrite").parquet(
+        log (on a cluster this is an Iceberg overwrite-by-filter).
+
+        The spine is written ONCE per batch and the derived outputs re-read
+        it from parquet — the same amortization as io.materialize_run.
+        Deriving all four outputs straight off the build_spine frame re-runs
+        the whole decode per sink (4×/batch; the r5 streaming bench measured
+        39.5 → 20.6 s for an 8-micro-batch drain from this change alone, and
+        a single-batch drain lands within 1.9× of pure batch while writing
+        five output trees instead of one — PLANS.md §4i), and it also gives
+        the stream the same durable interim checkpoint (S4) the batch path
+        has."""
+        session = batch_df.sparkSession
+        spine_dir = os.path.join(out_dir, "spine", f"batch={batch_id}")
+        build_spine(session, batch_df, blobs).write.mode("overwrite").parquet(
+            spine_dir
+        )
+        spine = session.read.parquet(spine_dir)
+        outputs = derive_outputs(spine, run_id)
+        for name in ("spans_out", "lineage", "metrics", "conf_hist"):
+            outputs[name].write.mode("overwrite").parquet(
                 os.path.join(out_dir, name, f"batch={batch_id}")
             )
 

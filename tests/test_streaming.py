@@ -200,3 +200,66 @@ def test_stream_bitmap_corpus_matches_spec_oracle(spark, tmp_path):
         s_row, _, specs = gen_bitmap_doc(31, i)
         want[s_row["doc_id"]], _ = oracle_bitmap.process_doc(s_row["spans"], specs)
     assert got == want
+
+
+def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
+    """Exact duplicates arriving in DIFFERENT micro-batches (within the
+    watermark horizon) collapse to one kept doc per fingerprint; the surviving
+    fingerprint set equals batch dedup_exact semantics over the same rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.streaming import stream_dedup_exact
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    # 3 files → 3 micro-batches; texts t0/t1 repeat across files, t2/t3/t4
+    # are unique; all timestamps inside one watermark hour
+    files = [
+        [("d0", "2026-01-01 10:00:00", "t0"), ("d1", "2026-01-01 10:01:00", "t1")],
+        [("d2", "2026-01-01 10:02:00", "t0"), ("d3", "2026-01-01 10:03:00", "t2"),
+         ("d4", "2026-01-01 10:04:00", "t3")],
+        [("d5", "2026-01-01 10:05:00", "t1"), ("d6", "2026-01-01 10:06:00", "t0"),
+         ("d7", "2026-01-01 10:07:00", "t4")],
+    ]
+    pa_schema = pa.schema(
+        [("doc_id", pa.string()), ("ts", pa.string()), ("text", pa.string())]
+    )
+    cols = ["doc_id", "ts", "text"]
+    for i, rows in enumerate(files):
+        pq.write_table(
+            pa.Table.from_pylist([dict(zip(cols, r)) for r in rows], schema=pa_schema),
+            src / f"part-{i}.parquet",
+        )
+
+    batch = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "kept"
+    q = (
+        stream_dedup_exact(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(str(out)).collect()
+    # one survivor per distinct text, fingerprint set == batch dedup_exact's
+    assert len(kept) == 5
+    assert {r["text"] for r in kept} == {"t0", "t1", "t2", "t3", "t4"}
+    # each survivor is a genuine carrier of its text (first-arrival witness)
+    carriers = {}
+    for f in files:
+        for doc_id, _, text in f:
+            carriers.setdefault(text, []).append(doc_id)
+    for r in kept:
+        assert r["doc_id"] in carriers[r["text"]]
+    # the cross-batch duplicates (d2/d5/d6 dup t0/t1) were dropped
+    assert {r["doc_id"] for r in kept}.isdisjoint({"d2", "d5", "d6"})
