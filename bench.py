@@ -65,6 +65,9 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_tokens_bpe",
     "x_text_branch_extraction",
+    # added r5 (new corpus-curation flagship): headline totals are not
+    # comparable to r4 and earlier — compare per-query (PLANS.md §4j)
+    "train_corpus_filtered",
 ]
 
 BENCH_SEED = 1234

@@ -295,6 +295,25 @@ def dedup_simhash(spark, sf_dir):
 CHECKPOINT_DIR_CONF = "spark.extraction.checkpointDir"
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize a frame that sits at a DAG-diamond fork so each downstream
+    consumer reads the result instead of recomputing the shared subtree per
+    action.  Reliable checkpoint when a checkpoint dir is configured (same
+    ``spark.extraction.checkpointDir`` discipline as connected_components —
+    the 100 TB mode, where executor loss must not invalidate the cut);
+    localCheckpoint only as the dir-less local-run fallback.  Used instead of
+    persist(): a cached frame leaks executor memory past the query's
+    lifetime when the callee can't know when consumers finish."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        conf_dir = df.sparkSession.conf.get(CHECKPOINT_DIR_CONF, None)
+        if conf_dir:
+            sc.setCheckpointDir(conf_dir)
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 24,
@@ -1291,6 +1310,14 @@ def _curation_outcomes(spark, sf_dir) -> DataFrame:
     labeled = docs.join(rep, "doc_id", "left").withColumn(
         "pre_reason",
         F.coalesce(F.col("pre_reason"), F.when(F.col("flagged"), "repetition")),
+    )
+    # DAG diamond: `labeled` feeds BOTH the dedup branch (survivors →
+    # shingles → LSH → CC) and the final outcome join.  Without a lineage
+    # cut the quality+repetition subtree (two n-gram groupBys + a window)
+    # re-executes once per branch — measured 14.8 → 9.6 s at sf0.1/32c
+    # from this truncate alone (PLANS.md §4j).
+    labeled = _truncate_lineage(
+        labeled.select("doc_id", "source", "text", "pre_reason")
     )
     surv = labeled.filter(F.col("pre_reason").isNull()).select("doc_id", "text")
     pairs = (
