@@ -1375,3 +1375,157 @@ def train_corpus_filtered(spark, sf_dir):
         .groupBy("source", "outcome")
         .agg(F.count("*").alias("docs"))
     )
+
+
+# =========================================================================
+# PII redaction + eval-set decontamination (training-data compliance ops)
+# =========================================================================
+
+# Patterns deliberately simple and engine-portable (Java regex == DuckDB RE2
+# for this subset: classes, bounded/unbounded counts, \b).  Order of dict =
+# order of redaction passes; counts are taken on the ORIGINAL text so one
+# pass can't hide another's matches.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,3}-\d{3}-\d{4}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+_PII_AUG_SQL = """
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 17 = 0
+                     THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+def _pii_augmented(spark, sf_dir) -> DataFrame:
+    """documents with deterministic PII injected into known rows (doc_id
+    mod 11/13/17 → email/phone/ip) — the same synthesize-the-signal idiom as
+    _augmented's planted duplicates, so redaction has ground truth to find."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 17 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did / 7).cast("long") % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Column-level PII scrub — the composable core: returns (doc_id, source,
+    n_email/n_phone/n_ip counts on the original text, redacted text).  Pure
+    Catalyst (regexp_extract_all + chained regexp_replace): row-local,
+    shuffle-free, whole-stage-codegen'd — the shape that runs at 100 TB as a
+    map-only pass over the corpus scan."""
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    redacted = F.col("text")
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+    return docs.select("doc_id", "source", *counts, redacted.alias("redacted"))
+
+
+@_local_q(
+    "text_pii_redact",
+    "training-data compliance — PII redaction: regex scrub of emails/phones/"
+    "IPs with per-doc counts, map-only over the corpus scan",
+    f"""
+    WITH pii AS ({_PII_AUG_SQL})
+    SELECT doc_id, source,
+           len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS n_email,
+           len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) AS n_phone,
+           len(regexp_extract_all(text, '{PII_PATTERNS["ip"]}')) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
+               '{PII_PATTERNS["phone"]}', '[PHONE]', 'g'),
+               '{PII_PATTERNS["ip"]}', '[IP]', 'g')) AS redacted_fp
+    FROM pii
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    r = pii_redact(_pii_augmented(spark, sf_dir))
+    return r.select(
+        "doc_id", "source", "n_email", "n_phone", "n_ip",
+        F.md5("redacted").alias("redacted_fp"),
+    )
+
+
+@_local_q(
+    "text_decontaminate",
+    "training-data compliance — eval-set decontamination: corpus docs sharing "
+    "n-grams with a (broadcast) benchmark set are counted and flagged",
+    f"""
+    WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 0),
+    eg AS (SELECT DISTINCT shingle FROM ({_shingle_sql('evald')})),
+    cg AS ({_shingle_sql('corpus')}),
+    hits AS (
+      SELECT cg.doc_id, count(*) AS contaminated_ngrams
+      FROM cg JOIN eg USING (shingle) GROUP BY cg.doc_id
+    )
+    SELECT c.doc_id,
+           COALESCE(h.contaminated_ngrams, 0) AS contaminated_ngrams,
+           COALESCE(h.contaminated_ngrams, 0) >= 5 AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: count per-doc n-gram overlap between the
+    training corpus and a held-out eval set, flag docs over threshold.  The
+    eval set here is a deterministic slice of documents (doc_id % 19) — in
+    production it's the actual benchmark suite, which is TINY relative to
+    the corpus, so the eval n-gram set is broadcast and the whole op is a
+    map-side hash semi-join + one per-doc groupBy: no corpus self-join, no
+    shuffle of the eval side, linear in corpus size.  Gram width is 3 here
+    (shared _shingles machinery + oracle); production uses 8-13-grams — the
+    plan shape is identical."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    evald = d.filter(F.col("doc_id") % 19 == 0)
+    corpus = d.filter(F.col("doc_id") % 19 != 0)
+    eval_grams = _shingles(evald).select("shingle").distinct()
+    hits = (
+        _shingles(corpus)
+        .join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("contaminated_ngrams"))
+    )
+    n = F.coalesce(F.col("contaminated_ngrams"), F.lit(0))
+    return corpus.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n.alias("contaminated_ngrams"),
+        (n >= 5).alias("contaminated"),
+    )

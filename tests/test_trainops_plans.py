@@ -212,3 +212,55 @@ def test_curation_outcomes_partition_the_corpus(spark):
     # surviving the pre-filters its +200000 twin MUST be a duplicate drop, so
     # the class is non-trivially exercised
     assert sum(v for (s, o), v in counts.items() if o == "dropped_duplicate") > 0
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-side n-gram set must reach the corpus via a broadcast hash
+    join (benchmark suites are tiny vs the corpus — shuffling the corpus
+    grams by shingle would be the 100 TB mistake), and no all-pairs shape."""
+    plan = (
+        trainops.text_decontaminate(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    for marker in _FORBIDDEN:
+        assert marker not in plan, f"plan contains {marker}:\n{plan[:2000]}"
+
+
+def test_pii_redact_is_map_only(spark):
+    """Redaction is a row-local projection: the plan over the corpus scan
+    must contain NO exchange — at 100 TB this runs as a pure map pass."""
+    plan = (
+        trainops.pii_redact(trainops._pii_augmented(spark, SF_DIR))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_pii_redact_finds_planted_pii(spark):
+    """Ground truth from the deterministic injection: every doc in each
+    modulus class carries >= 1 match of that class, and redaction changes
+    the text (fp differs from the unredacted md5)."""
+    from pyspark.sql import functions as F
+
+    r = trainops.text_pii_redact(spark, SF_DIR)
+    bad = r.filter(
+        ((F.col("doc_id") % 11 == 0) & (F.col("n_email") < 1))
+        | ((F.col("doc_id") % 13 == 0) & (F.col("n_phone") < 1))
+        | ((F.col("doc_id") % 17 == 0) & (F.col("n_ip") < 1))
+    ).count()
+    assert bad == 0
+    pii = trainops._pii_augmented(spark, SF_DIR).select(
+        "doc_id", F.md5("text").alias("orig_fp")
+    )
+    unchanged = (
+        r.filter(F.col("doc_id") % 11 == 0)
+        .join(pii, "doc_id")
+        .filter(F.col("redacted_fp") == F.col("orig_fp"))
+        .count()
+    )
+    assert unchanged == 0
