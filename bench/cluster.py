@@ -141,6 +141,7 @@ def run_level(
     runs: int = 1,
     arrow_batch: int | None = None,
     warm_corpus: str | None = None,
+    job: str = "extraction",
 ) -> dict:
     """One fresh cluster at n_execs workers; submit run_scale.py; JSON out."""
     cluster = Cluster(n_execs, cpe, work_root)
@@ -162,7 +163,7 @@ def run_level(
                "--conf", "spark.ui.showConsoleProgress=false",
                str(REPO / "bench" / "run_scale.py"),
                "--cores", str(total), "--corpus", corpus, "--runs", str(runs),
-               "--receipts", "--tasktime"]
+               "--receipts", "--tasktime", "--job", job]
         )
         if arrow_batch:
             cmd += ["--arrow-batch", str(arrow_batch)]
@@ -201,6 +202,14 @@ def main() -> None:
         "cluster-NxC-bitmap.json so a pipeline result file is not clobbered)",
     )
     ap.add_argument(
+        "--curation-only",
+        action="store_true",
+        help="measure only the corpus-curation flagship (train_corpus_filtered "
+        "over the replicated documents table from bench/curation_scale.py; "
+        "results go to a separate cluster-NxC-curation.json)",
+    )
+    ap.add_argument("--curation-replicas", type=int, default=48)
+    ap.add_argument(
         "--ceiling",
         action="store_true",
         help="also measure the host's pure-CPU scaling ceiling (pinned md5 "
@@ -215,9 +224,12 @@ def main() -> None:
     assert need + 4 <= ncpu, f"4N cluster needs {need}+4 cores, host has {ncpu}"
     driver_cores = f"{ncpu - 4}-{ncpu - 1}"  # same reserved driver cores at BOTH levels
 
-    run_pipeline = not args.bitmap_only
-    run_bitmap = not args.skip_bitmap
-    assert run_pipeline or run_bitmap, "--bitmap-only and --skip-bitmap conflict"
+    run_curation = args.curation_only
+    run_pipeline = not args.bitmap_only and not run_curation
+    run_bitmap = not args.skip_bitmap and not args.curation_only
+    assert run_pipeline or run_bitmap or run_curation, (
+        "--bitmap-only and --skip-bitmap conflict"
+    )
 
     cdir = REPO / ".bench_cache" / f"corpus-v{fixtures.FIXTURE_VERSION}-{SEED}-{args.docs}"
     if run_pipeline and not (cdir / "spans").exists():
@@ -242,8 +254,14 @@ def main() -> None:
     if run_bitmap and not (wbdir / "spans").exists():
         fixtures.write_bitmap_corpus(str(wbdir), 800, seed=SEED)
 
-    def interleaved(corpus: str, arrow_batch: int | None = None) -> tuple[dict, dict]:
-        warm = str(wbdir) if arrow_batch else str(wdir)
+    def interleaved(
+        corpus: str,
+        arrow_batch: int | None = None,
+        job: str = "extraction",
+        warm: str | None = None,
+    ) -> tuple[dict, dict]:
+        if warm is None:
+            warm = str(wbdir) if arrow_batch else str(wdir)
         best: dict[int, dict] = {}
         for r in range(args.rounds):
             for execs in (n, n4):
@@ -251,7 +269,7 @@ def main() -> None:
                     execs, cpe, corpus, pyfiles,
                     work_root=f"/tmp/spark-cluster-{execs}x{cpe}",
                     driver_cores=driver_cores, runs=1, arrow_batch=arrow_batch,
-                    warm_corpus=warm,
+                    warm_corpus=warm, job=job,
                 )
                 print(f"round {r}: {execs} exec × {cpe}c → {rec['docs_per_sec']} docs/s",
                       file=sys.stderr)
@@ -276,6 +294,19 @@ def main() -> None:
             **{f"{n}_executors": lo, f"{n4}_executors": hi},
             scaling_efficiency=round(eff, 3),
         )
+    if run_curation:
+        sys.path.insert(0, str(REPO / "bench"))
+        from curation_scale import SRC_SF, build_corpus
+
+        cur_dir = build_corpus(args.curation_replicas)
+        clo, chi = interleaved(cur_dir, job="curation", warm=SRC_SF)
+        ceff = chi["docs_per_sec"] / (4 * clo["docs_per_sec"])
+        effs.append(ceff)
+        result.update(
+            curation_docs=clo["docs"],
+            **{f"curation_{n}_executors": clo, f"curation_{n4}_executors": chi},
+            curation_scaling_efficiency=round(ceff, 3),
+        )
     if run_bitmap:
         blo, bhi = interleaved(str(bdir), arrow_batch=256)
         beff = bhi["docs_per_sec"] / (4 * blo["docs_per_sec"])
@@ -293,7 +324,11 @@ def main() -> None:
         result["cpu_ceiling"] = ceil
         result["normalized"] = {
             k: round(result[k] / ceil["efficiency"], 3)
-            for k in ("scaling_efficiency", "bitmap_scaling_efficiency")
+            for k in (
+                "scaling_efficiency",
+                "bitmap_scaling_efficiency",
+                "curation_scaling_efficiency",
+            )
             if k in result
         }
     result["passed"] = all(e >= 0.8 for e in effs)
@@ -302,7 +337,15 @@ def main() -> None:
     (REPO / "BENCH").mkdir(exist_ok=True)
     # partial runs get their own files so a --skip-bitmap rerun can't clobber
     # a previously recorded combined/bitmap result (and vice versa)
-    suffix = "-bitmap" if args.bitmap_only else "-pipeline" if args.skip_bitmap else ""
+    suffix = (
+        "-curation"
+        if args.curation_only
+        else "-bitmap"
+        if args.bitmap_only
+        else "-pipeline"
+        if args.skip_bitmap
+        else ""
+    )
     (REPO / "BENCH" / f"cluster-{n}x{cpe}{suffix}.json").write_text(
         json.dumps({"generated": stamp, **result}, indent=2) + "\n"
     )

