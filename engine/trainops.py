@@ -1580,3 +1580,78 @@ def text_decontaminate(spark, sf_dir):
         n.alias("contaminated_ngrams"),
         (n >= 5).alias("contaminated"),
     )
+
+
+# =========================================================================
+# Deterministic stratified mixture sampling (training-data weighting)
+# =========================================================================
+
+# Per-source sampling rates in basis points (÷10,000) — the "data mixture"
+# a training run assigns its sources.  Deterministic fixture mixture here;
+# production passes its own dict to sample_stratified.
+MIXTURE_BP = {
+    "src0": 10_000,  # keep all
+    "src1": 5_000,  # half
+    "src2": 2_500,
+    "src3": 1_000,
+    # unlisted sources fall back to DEFAULT_MIXTURE_BP
+}
+DEFAULT_MIXTURE_BP = 7_500
+
+# Knuth multiplicative hash — chosen over xxhash64/md5 because the SAME
+# arithmetic runs in any engine (the DuckDB oracle included): bucket =
+# (doc_id * 2654435761) mod 2^32 mod 10000.  Uniform enough for rate
+# sampling; crucially REPRODUCIBLE — re-running the pipeline (or running it
+# in a different engine) keeps or drops exactly the same documents, which is
+# what makes sampled corpora auditable.
+_KNUTH = 2654435761
+
+
+def _sample_bucket(doc_id_col):
+    return (doc_id_col * F.lit(_KNUTH)) % F.lit(2**32) % F.lit(10_000)
+
+
+def sample_stratified(
+    docs: DataFrame, rates_bp: dict[str, int] | None = None, default_bp: int = DEFAULT_MIXTURE_BP
+) -> DataFrame:
+    """Keep each doc iff its deterministic hash bucket falls under its
+    source's rate — a row-local filter: no shuffle, no rand() (whose
+    task-retry non-determinism silently changes the corpus on a 1000-executor
+    run when a task re-executes), no per-source pass.  The rates map becomes
+    one CASE expression, so mixtures with thousands of sources stay a single
+    projection over the corpus scan."""
+    rates = MIXTURE_BP if rates_bp is None else rates_bp
+    rate = F.lit(default_bp)
+    for src, bp in sorted(rates.items()):
+        rate = F.when(F.col("source") == src, F.lit(bp)).otherwise(rate)
+    return docs.filter(_sample_bucket(F.col("doc_id")) < rate)
+
+
+def _mixture_case_sql(default_bp: int = DEFAULT_MIXTURE_BP) -> str:
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {bp}" for s, bp in sorted(MIXTURE_BP.items())
+    )
+    return f"CASE {arms} ELSE {default_bp} END"
+
+
+@_local_q(
+    "text_sample_stratified",
+    "training-data mixture sampling — deterministic per-source rate filter "
+    "(Knuth-hash bucket < rate), audited per source",
+    f"""
+    SELECT source, count(*) AS kept,
+           min(doc_id) AS min_kept_doc, max(doc_id) AS max_kept_doc
+    FROM (
+      SELECT doc_id, source FROM documents
+      WHERE (doc_id * {_KNUTH}) % 4294967296 % 10000 < ({_mixture_case_sql()})
+    )
+    GROUP BY source
+    """,
+)
+def text_sample_stratified(spark, sf_dir):
+    kept = sample_stratified(load(spark, sf_dir, "documents"))
+    return kept.groupBy("source").agg(
+        F.count("*").alias("kept"),
+        F.min("doc_id").alias("min_kept_doc"),
+        F.max("doc_id").alias("max_kept_doc"),
+    )

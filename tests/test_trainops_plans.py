@@ -264,3 +264,30 @@ def test_pii_redact_finds_planted_pii(spark):
         .count()
     )
     assert unchanged == 0
+
+
+def test_sample_stratified_map_only_and_honors_rates(spark):
+    """The sampling filter is a row-local projection (no Exchange), keeps
+    ALL of a rate-10000 source, and lands within a loose band of each
+    source's configured rate."""
+    from pyspark.sql import functions as F
+
+    from engine.relational import load
+
+    docs = load(spark, SF_DIR, "documents")
+    kept = trainops.sample_stratified(docs)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+    tot = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    got = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got["src0"] == tot["src0"]  # 10000 bp keeps everything
+    for src, bp in trainops.MIXTURE_BP.items():
+        if src == "src0" or tot.get(src, 0) < 40:
+            continue
+        frac = got.get(src, 0) / tot[src]
+        assert abs(frac - bp / 10_000) < 0.2, (src, frac, bp)
+    # deterministic: a second evaluation keeps the identical doc set
+    a = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    b = {r["doc_id"] for r in trainops.sample_stratified(docs).select("doc_id").collect()}
+    assert a == b
