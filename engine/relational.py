@@ -287,7 +287,7 @@ def f18_json_extract(spark, sf_dir):
     return e.groupBy("event_type").agg(F.sum(k).alias("sum_k"), F.count("*").alias("cnt"))
 
 
-@_q(
+@_local_q(  # retired to the local registry end of r5 — slot went to text_decontaminate
     "f20_id_pattern",
     "F20 — ACA-xxxx-xxxxx-xxx ID extraction, zeros preserved (pdf_processor.py:634-640)",
     r"""

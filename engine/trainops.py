@@ -1535,7 +1535,7 @@ def text_pii_redact(spark, sf_dir):
     )
 
 
-@_local_q(
+@_q(  # promoted into the driver window end of r5 (slot freed by f20_id_pattern)
     "text_decontaminate",
     "training-data compliance — eval-set decontamination: corpus docs sharing "
     "n-grams with a (broadcast) benchmark set are counted and flagged",
