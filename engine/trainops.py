@@ -345,11 +345,32 @@ def connected_components(
       executor-local and die with the executor, which on a 1000-executor run
       of a 15-round loop is a near-certainty; falls back to localCheckpoint
       only in dir-less local runs.
-    - **Driver round-trips run at a cadence**, not per iteration: labels are
-      monotone non-increasing under min-propagation, so "no change across a
-      ``check_every``-iteration window" is equivalent to convergence.  Each
-      window costs one eager checkpoint job + one count() instead of two
-      jobs per iteration.
+    - **Driver round-trips run at a cadence**, not per iteration: each
+      ``check_every``-iteration window costs one eager checkpoint job + one
+      convergence-test job instead of two jobs per iteration.
+    - **Convergence is a DIRECT fixpoint test**, not a static-window
+      observation (changed r5): at each check the driver counts docs where
+      some neighbor still offers a smaller label.  With a symmetric edge
+      list, zero improvements ⇒ labels are constant along every edge ⇒
+      constant per component ⇒ equal to the component min (the min node's
+      label can never drop below itself).  The old scheme — compare against
+      the previous window's checkpoint — needed a full extra no-change
+      window to fire, systematically overshooting convergence by up to
+      ``check_every`` iterations (the flagship ran 6 iterations + 2
+      checkpoints for a graph that converges at 2).
+    - **Pointer jumping** (``comp ← min(comp, comp[comp])``) turns on
+      ADAPTIVELY, after the first convergence check fails: from then on
+      label-propagation distance roughly doubles per iteration, so the
+      ``max_iterations`` cap bounds reachable diameter exponentially, not
+      linearly — a pathological near-dup chain at the 10^12-doc scale
+      converges in O(log diameter) rounds.  It is NOT run from iteration 1
+      because the common LSH duplicate-cluster graph is clique-shaped
+      (diameter ≤ check_every): measured interleaved A/B at sf0.1
+      (bench/ab_cc.py), unconditional jumping made dedup_components 0.78×
+      — two extra narrow shuffles per iteration bought nothing when the
+      fixpoint already lands inside the first window.  Labels are always
+      doc_ids present in the table (init = self, min preserves membership),
+      so the self-join always matches.
     - **Convergence is checked, never assumed**: raises instead of returning
       silently-wrong partial labels for a component whose graph diameter
       exceeds the iteration cap.
@@ -394,47 +415,77 @@ def connected_components(
         out = _reliable_checkpoint(df)
         return out, _list_ckpt() - before
 
+    def _nb_min(frontier: DataFrame) -> DataFrame:
+        return (
+            edges.join(
+                frontier.select(
+                    F.col("doc_id").alias("nb_id"), F.col("comp").alias("nb_comp")
+                ),
+                edges["doc_b"] == F.col("nb_id"),
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nb_comp").alias("nb_comp"))
+        )
+
     edges, edges_files = truncate(edges)
     comp, comp_files = truncate(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
     )
-    last_checked, last_files = comp, comp_files
+    prev_files = comp_files
     iterations = checks = 0
     converged = False
+    jump = False
     for it in range(1, max_iterations + 1):
-        nb = (
-            edges.join(
-                comp.select(F.col("doc_id").alias("nb_id"), F.col("comp").alias("nb_comp")),
-                edges["doc_b"] == F.col("nb_id"),
-            )
-            .groupBy("doc_a")
-            .agg(F.min("nb_comp").alias("nb_comp"))
-        )
+        nb = _nb_min(comp)
         comp = comp.join(nb, comp["doc_id"] == nb["doc_a"], "left").select(
             "doc_id",
             F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
                 "comp"
             ),
         )
+        if jump:
+            # pointer jump: adopt my label's own label when smaller
+            ptr = comp.select(
+                F.col("doc_id").alias("p_id"), F.col("comp").alias("p_comp")
+            )
+            comp = (
+                comp.alias("c")
+                .join(ptr, F.col("c.comp") == F.col("p_id"), "left")
+                .select(
+                    F.col("c.doc_id").alias("doc_id"),
+                    F.least(
+                        F.col("c.comp"), F.coalesce(F.col("p_comp"), F.col("c.comp"))
+                    ).alias("comp"),
+                )
+            )
         iterations = it
         if it % check_every == 0 or it == max_iterations:
             comp, comp_files = truncate(comp)
             checks += 1
-            changed = (
-                comp.alias("n")
-                .join(last_checked.alias("o"), "doc_id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
+            # fixpoint test on the materialized labels: any doc a neighbor
+            # still improves?  (counts only the improving rows — the join is
+            # inner on doc_a, the filter prunes at the probe side)
+            cur = comp.select(
+                F.col("doc_id").alias("fx_id"), F.col("comp").alias("fx_comp")
+            )
+            improving = (
+                _nb_min(comp)
+                .join(cur, F.col("doc_a") == F.col("fx_id"))
+                .filter(F.col("nb_comp") < F.col("fx_comp"))
                 .count()
             )
             # the previous window's checkpoint is now superseded — the new
             # comp is fully materialized and nothing references the old files
-            _delete(last_files)
-            if changed == 0:
+            _delete(prev_files)
+            prev_files = comp_files
+            if improving == 0:
                 converged = True
                 break
-            last_checked, last_files = comp, comp_files
+            # still propagating past a full window — assume a deep graph
+            # and switch to log-diameter stepping
+            jump = True
     if converged:
         # the returned comp is materialized; the edges checkpoint is no
         # longer referenced by any surviving plan
@@ -445,6 +496,7 @@ def connected_components(
             convergence_checks=checks,
             converged=converged,
             reliable_checkpoint=reliable,
+            pointer_jump_engaged=jump,
         )
     if not converged:
         raise RuntimeError(
