@@ -337,8 +337,13 @@ def main() -> None:
     (REPO / "BENCH").mkdir(exist_ok=True)
     # partial runs get their own files so a --skip-bitmap rerun can't clobber
     # a previously recorded combined/bitmap result (and vice versa)
+    # non-default curation corpus sizes get their own file too, so a
+    # floor-amortization sweep (48 vs 96 replicas) keeps both datapoints
+    cur_suffix = "-curation" + (
+        "" if args.curation_replicas == 48 else f"-{args.curation_replicas}r"
+    )
     suffix = (
-        "-curation"
+        cur_suffix
         if args.curation_only
         else "-bitmap"
         if args.bitmap_only
