@@ -143,6 +143,36 @@ def merge_docs_sql(source_view: str = "new_run_spans_out", catalog: str = "lake"
     """
 
 
+def dedup_index_ddl(catalog: str = "lake") -> str:
+    """The persisted MinHash band-signature index behind
+    trainops.dedup_incremental: identity-partitioned by band (4 values) and
+    bucketed by sig, so the nightly delta probe — an equi-join on
+    (band, sig) — is partition-pruned to one band and bucket-local within
+    it, and the post-dedup append (updated_signature_index) is a plain
+    INSERT INTO with no rewrite."""
+    return f"""
+    CREATE TABLE IF NOT EXISTS {catalog}.curation.dedup_sigs (
+      doc_id BIGINT, band INT, sig STRING
+    ) USING iceberg
+    PARTITIONED BY (band, bucket(4096, sig))
+    """
+
+
+def append_new_signatures_sql(
+    verdicts_view: str = "batch_verdicts",
+    sigs_view: str = "batch_sigs",
+    catalog: str = "lake",
+) -> str:
+    """State carry as SQL: index only the batch docs judged ``new``
+    (trainops.updated_signature_index's semi-join, append-only)."""
+    return f"""
+    INSERT INTO {catalog}.curation.dedup_sigs
+    SELECT s.doc_id, s.band, s.sig FROM {sigs_view} s
+    LEFT SEMI JOIN {verdicts_view} v
+      ON s.doc_id = v.doc_id AND v.verdict = 'new'
+    """
+
+
 def expire_runs_sql(expired_run_ids: list[str], catalog: str = "lake") -> list[str]:
     """S7 retention of RUNS: metadata-only partition drops across all output
     tables — io.py expire_runs' atomic per-run removal, Iceberg-side."""
@@ -176,6 +206,8 @@ def parse_checked_statements(run_id: str = "r1") -> list[str]:
             resume_anti_join_sql(run_id),
             merge_docs_sql(),
             expire_snapshots_call(),
+            dedup_index_ddl(),
+            append_new_signatures_sql(),
         ]
         + expire_runs_sql([run_id])
     )

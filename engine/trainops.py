@@ -142,18 +142,23 @@ def dedup_minhash_lsh(spark, sf_dir):
     return _minhash_pairs(_augmented(spark, sf_dir))
 
 
-def _minhash_pairs(docs: DataFrame) -> DataFrame:
-    """MinHash+LSH candidate pairs (doc_a, doc_b, shared_bands) over any
-    (doc_id, text) frame — the reusable core of dedup_minhash_lsh, also
-    composed by train_corpus_filtered over its pre-filtered survivors."""
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) MinHash band-signature rows over any
+    (doc_id, text) frame — the PERSISTABLE state of MinHash dedup.  A corpus
+    keeps this table next to the documents (4 small rows per doc, linear);
+    nightly deltas then dedup against it by equi-join instead of
+    recomputing the corpus (dedup_incremental).  On Iceberg, bucket it by
+    (band, sig) so both the delta probe and the within-batch self-join are
+    bucket-local (PLANS.md §5 pattern).
+
+    One aggregation pass computes all 4 band minima (4 min-exprs over the
+    same shingle rows), then posexplode to (band, sig) rows.  Wall-neutral
+    at sf0.1/32c (md5 compute dominates; interleaved A/B best-of-3: 6.24 s
+    explode-then-group vs 6.17 s) but the better shape for the hash
+    aggregate at scale: 4x fewer input rows and 4x fewer keys (doc_id vs
+    doc_id x band) for the same md5 count and the same shuffle bytes."""
     sh = _shingles(docs)
-    # One aggregation pass computes all 4 band minima (4 min-exprs over the
-    # same shingle rows), then posexplode to (band, sig) rows.  Wall-neutral
-    # at sf0.1/32c (md5 compute dominates; interleaved A/B best-of-3: 6.24 s
-    # explode-then-group vs 6.17 s) but the better shape for the hash
-    # aggregate at scale: 4x fewer input rows and 4x fewer keys (doc_id vs
-    # doc_id x band) for the same md5 count and the same shuffle bytes.
-    sig = (
+    return (
         sh.groupBy("doc_id")
         .agg(
             *[
@@ -166,6 +171,13 @@ def _minhash_pairs(docs: DataFrame) -> DataFrame:
             F.posexplode(F.array(*[f"s{i}" for i in range(4)])).alias("band", "sig"),
         )
     )
+
+
+def _minhash_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash+LSH candidate pairs (doc_a, doc_b, shared_bands) over any
+    (doc_id, text) frame — the reusable core of dedup_minhash_lsh, also
+    composed by train_corpus_filtered over its pre-filtered survivors."""
+    sig = minhash_signatures(docs)
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -1707,3 +1719,185 @@ def text_sample_stratified(spark, sf_dir):
         F.min("doc_id").alias("min_kept_doc"),
         F.max("doc_id").alias("max_kept_doc"),
     )
+
+
+# =========================================================================
+# Incremental dedup — nightly-delta state carry (reference has no analogue;
+# this is the training-data-pipeline op a 10^12-doc corpus actually runs:
+# full-corpus re-dedup is O(corpus) per night, the delta pattern is O(batch))
+# =========================================================================
+
+
+def dedup_incremental(
+    corpus_sigs: DataFrame, new_docs: DataFrame, min_bands: int = 2
+) -> DataFrame:
+    """Dedup a NEW batch of documents against a persisted corpus MinHash
+    index without touching the corpus text: (doc_id, verdict, dup_of) per
+    new doc, verdict ∈ {duplicate_of_corpus, duplicate_in_batch, new}.
+
+    ``corpus_sigs`` is the (doc_id, band, sig) table ``minhash_signatures``
+    produced for the existing corpus — the only corpus-side input.  The
+    probe is a pure (band, sig) equi-join: |batch|·bands rows against the
+    index, no corpus rescan, no all-pairs.  Within-batch duplicates are
+    resolved by the same LSH pairs → connected-components → keep-min
+    discipline as train_corpus_filtered, with CORPUS-CONTAMINATION
+    TRANSITIVITY: if any member of a within-batch duplicate component also
+    matches the corpus, the whole component is dropped (its content is
+    already represented), each non-matching member resolving dup_of to the
+    corpus doc via the component's minimum corpus-matching member.  A pure
+    in-batch component keeps its minimum doc_id (verdict ``new``); the rest
+    point dup_of at it.
+
+    Scale shape: one equi-join probe (bucket-local if both sides are
+    Iceberg-bucketed by (band, sig)), one self-join over BATCH sigs only,
+    one CC loop over batch-sized edges.  Corpus size appears solely as the
+    probe join's build side — at 10^12 docs that is the point.
+    """
+    new_sigs = minhash_signatures(new_docs)
+    c = corpus_sigs.alias("c")
+    n = new_sigs.alias("n")
+    corpus_hits = (
+        n.join(c, (F.col("n.band") == F.col("c.band")) & (F.col("n.sig") == F.col("c.sig")))
+        .groupBy(F.col("n.doc_id").alias("doc_id"), F.col("c.doc_id").alias("cdoc"))
+        .agg(F.count("*").alias("shared_bands"))
+        .filter(F.col("shared_bands") >= min_bands)
+        .groupBy("doc_id")
+        .agg(F.min("cdoc").alias("dup_of_corpus"))
+    )
+    a = new_sigs.alias("a")
+    b = new_sigs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_bands"))
+        .filter(F.col("shared_bands") >= min_bands)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    comp = connected_components(edges)
+    verd = (
+        new_docs.select("doc_id")
+        .join(corpus_hits, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+    )
+    # per-component corpus contamination: the minimum corpus-matching member
+    # carries its corpus resolution to the whole component (min_by is
+    # tie-free: doc_id is unique)
+    comp_corpus = (
+        verd.filter(F.col("dup_of_corpus").isNotNull() & F.col("comp").isNotNull())
+        .groupBy("comp")
+        .agg(F.min_by("dup_of_corpus", "doc_id").alias("comp_dup_of"))
+    )
+    return verd.join(comp_corpus, "comp", "left").select(
+        "doc_id",
+        F.when(F.col("dup_of_corpus").isNotNull(), F.lit("duplicate_of_corpus"))
+        .when(F.col("comp_dup_of").isNotNull(), F.lit("duplicate_in_batch"))
+        .when(
+            F.col("comp").isNotNull() & (F.col("comp") != F.col("doc_id")),
+            F.lit("duplicate_in_batch"),
+        )
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.coalesce(
+            "dup_of_corpus",
+            "comp_dup_of",
+            F.when(F.col("comp") != F.col("doc_id"), F.col("comp")),
+        ).alias("dup_of"),
+    )
+
+
+def updated_signature_index(
+    corpus_sigs: DataFrame, new_sigs: DataFrame, verdicts: DataFrame
+) -> DataFrame:
+    """State carry for the next delta: the corpus index plus the signatures
+    of this batch's ``new``-verdict docs (duplicates contribute nothing —
+    their content is already indexed).  Append-only, so on Iceberg this is
+    a plain INSERT INTO the bucketed signature table, no rewrite."""
+    kept = verdicts.filter(F.col("verdict") == "new").select("doc_id")
+    return corpus_sigs.unionByName(new_sigs.join(kept, "doc_id", "left_semi"))
+
+
+_INCR_SIG_SQL = """
+      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+      FROM {sh}, UNNEST([0, 1, 2, 3]) AS b(band)
+      GROUP BY doc_id, band
+"""
+
+
+@_local_q(
+    "dedup_incremental",
+    "training-data dedup — INCREMENTAL MinHash: nightly batch probed against "
+    "the persisted corpus band-signature index (equi-join, no corpus "
+    "recompute) + within-batch CC with corpus-contamination transitivity",
+    f"""
+    WITH RECURSIVE aug AS ({{aug}}),
+    corpus AS (SELECT * FROM aug WHERE doc_id % 4 <> 0),
+    batch AS (SELECT * FROM aug WHERE doc_id % 4 = 0),
+    csh AS ({{csh}}),
+    csig AS ({{csig}}),
+    nsh AS ({{nsh}}),
+    nsig AS ({{nsig}}),
+    corpus_hits AS (
+      SELECT doc_id, min(cdoc) AS dup_of_corpus FROM (
+        SELECT n.doc_id, c.doc_id AS cdoc
+        FROM nsig n JOIN csig c ON n.band = c.band AND n.sig = c.sig
+        GROUP BY n.doc_id, c.doc_id HAVING count(*) >= 2
+      ) GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM nsig a JOIN nsig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b HAVING count(*) >= 2
+    ),
+    edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    reach(x, y) AS (
+      SELECT doc_a, doc_b FROM edges
+      UNION
+      SELECT r.x, e.doc_b FROM reach r JOIN edges e ON r.y = e.doc_a
+    ),
+    comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp FROM reach GROUP BY x),
+    verd AS (
+      SELECT d.doc_id, h.dup_of_corpus, c.comp
+      FROM batch d
+      LEFT JOIN corpus_hits h USING (doc_id)
+      LEFT JOIN comp c USING (doc_id)
+    ),
+    comp_corpus AS (
+      SELECT comp, arg_min(dup_of_corpus, doc_id) AS comp_dup_of
+      FROM verd WHERE dup_of_corpus IS NOT NULL AND comp IS NOT NULL
+      GROUP BY comp
+    )
+    SELECT v.doc_id,
+           CASE WHEN v.dup_of_corpus IS NOT NULL THEN 'duplicate_of_corpus'
+                WHEN cc.comp_dup_of IS NOT NULL THEN 'duplicate_in_batch'
+                WHEN v.comp IS NOT NULL AND v.comp <> v.doc_id
+                     THEN 'duplicate_in_batch'
+                ELSE 'new' END AS verdict,
+           coalesce(v.dup_of_corpus, cc.comp_dup_of,
+                    CASE WHEN v.comp <> v.doc_id THEN v.comp END) AS dup_of
+    FROM verd v LEFT JOIN comp_corpus cc ON v.comp = cc.comp
+    """.format(
+        aug=_AUG_SQL,
+        csh=_shingle_sql("corpus"),
+        csig=_INCR_SIG_SQL.format(sh="csh"),
+        nsh=_shingle_sql("batch"),
+        nsig=_INCR_SIG_SQL.format(sh="nsh"),
+    ),
+)
+def text_dedup_incremental(spark, sf_dir):
+    """Registered form: a deterministic doc_id % 4 split of the augmented
+    documents plays corpus (3/4, pre-indexed via minhash_signatures) vs
+    nightly batch (1/4) — the injected near/exact duplicate pairs land on
+    both sides of the split, exercising every verdict."""
+    aug = _augmented(spark, sf_dir)
+    corpus_sigs = minhash_signatures(aug.filter(F.col("doc_id") % 4 != 0))
+    batch = aug.filter(F.col("doc_id") % 4 == 0)
+    return dedup_incremental(corpus_sigs, batch)
