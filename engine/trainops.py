@@ -1901,3 +1901,153 @@ def text_dedup_incremental(spark, sf_dir):
     corpus_sigs = minhash_signatures(aug.filter(F.col("doc_id") % 4 != 0))
     batch = aug.filter(F.col("doc_id") % 4 == 0)
     return dedup_incremental(corpus_sigs, batch)
+
+
+def curate_incremental(
+    corpus_sigs: DataFrame,
+    new_docs: DataFrame,
+    min_bands: int = 2,
+    min_tokens: int = 10,
+    max_tokens: int = 500,
+) -> DataFrame:
+    """The full nightly curation job over a DELTA: quality window →
+    repetition flags → incremental dedup against the persisted corpus index
+    — train_corpus_filtered's pipeline re-expressed as an O(batch) job.
+    (doc_id, source, outcome, dup_of) per new doc, outcome ∈
+    {dropped_quality, dropped_repetition, dropped_duplicate_corpus,
+    dropped_duplicate_batch, kept}.
+
+    Same stage order and precedence as _curation_outcomes (cheapest filter
+    first; only survivors reach the shingle/probe stage), with the dedup
+    stage swapped for dedup_incremental — corpus cost appears only as the
+    probe join's build side.  Index the kept docs for the next delta with
+    ``updated_signature_index`` (a ``kept`` outcome here is exactly a
+    ``new`` verdict there)."""
+    n_tokens = F.size(F.split("text", " "))
+    docs = new_docs.select("doc_id", "source", "text").withColumn(
+        "pre_reason",
+        F.when((n_tokens < min_tokens) | (n_tokens > max_tokens), "quality"),
+    )
+    qual_ok = docs.filter(F.col("pre_reason").isNull()).select(
+        "doc_id", "source", "text"
+    )
+    rep = repetition_flags(qual_ok).select("doc_id", "flagged")
+    labeled = docs.join(rep, "doc_id", "left").withColumn(
+        "pre_reason",
+        F.coalesce(F.col("pre_reason"), F.when(F.col("flagged"), "repetition")),
+    )
+    # same DAG-diamond cut as _curation_outcomes: labeled feeds both the
+    # dedup branch and the final outcome join (PLANS.md §4j)
+    labeled = _truncate_lineage(
+        labeled.select("doc_id", "source", "text", "pre_reason")
+    )
+    surv = labeled.filter(F.col("pre_reason").isNull()).select("doc_id", "text")
+    verd = dedup_incremental(corpus_sigs, surv, min_bands=min_bands)
+    return labeled.join(verd, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("pre_reason").isNotNull(),
+            F.concat(F.lit("dropped_"), F.col("pre_reason")),
+        )
+        .when(
+            F.col("verdict") == "duplicate_of_corpus",
+            F.lit("dropped_duplicate_corpus"),
+        )
+        .when(
+            F.col("verdict") == "duplicate_in_batch",
+            F.lit("dropped_duplicate_batch"),
+        )
+        .otherwise(F.lit("kept"))
+        .alias("outcome"),
+        "dup_of",
+    )
+
+
+@_local_q(
+    "train_curate_incremental",
+    "END-TO-END INCREMENTAL corpus curation: nightly batch → quality window "
+    "→ repetition anti-filter → incremental MinHash dedup vs the persisted "
+    "corpus index — the O(batch) delta form of train_corpus_filtered",
+    f"""
+    WITH RECURSIVE aug AS ({_AUG_SQL}),
+    corpus AS (SELECT * FROM aug WHERE doc_id % 4 <> 0),
+    batch AS (SELECT * FROM aug WHERE doc_id % 4 = 0),
+    {{rep_ctes}},
+    labeled AS (
+      SELECT a.doc_id, a.source,
+             CASE WHEN len(string_split(a.text, ' ')) NOT BETWEEN 10 AND 500
+                    THEN 'quality'
+                  WHEN {{rep_flag}} THEN 'repetition'
+             END AS pre_reason
+      FROM batch a
+      LEFT JOIN bg_doc b USING (doc_id)
+      LEFT JOIN tg_doc t USING (doc_id)
+    ),
+    surv AS (
+      SELECT a.doc_id, a.text FROM batch a
+      JOIN labeled l USING (doc_id) WHERE l.pre_reason IS NULL
+    ),
+    csh AS ({{csh}}),
+    csig AS ({{csig}}),
+    nsh AS ({{nsh}}),
+    nsig AS ({{nsig}}),
+    corpus_hits AS (
+      SELECT doc_id, min(cdoc) AS dup_of_corpus FROM (
+        SELECT n.doc_id, c.doc_id AS cdoc
+        FROM nsig n JOIN csig c ON n.band = c.band AND n.sig = c.sig
+        GROUP BY n.doc_id, c.doc_id HAVING count(*) >= 2
+      ) GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM nsig a JOIN nsig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b HAVING count(*) >= 2
+    ),
+    edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    reach(x, y) AS (
+      SELECT doc_a, doc_b FROM edges
+      UNION
+      SELECT r.x, e.doc_b FROM reach r JOIN edges e ON r.y = e.doc_a
+    ),
+    comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp FROM reach GROUP BY x),
+    verd AS (
+      SELECT s.doc_id, h.dup_of_corpus, c.comp
+      FROM surv s
+      LEFT JOIN corpus_hits h USING (doc_id)
+      LEFT JOIN comp c USING (doc_id)
+    ),
+    comp_corpus AS (
+      SELECT comp, arg_min(dup_of_corpus, doc_id) AS comp_dup_of
+      FROM verd WHERE dup_of_corpus IS NOT NULL AND comp IS NOT NULL
+      GROUP BY comp
+    )
+    SELECT l.doc_id, l.source,
+           CASE WHEN l.pre_reason IS NOT NULL THEN 'dropped_' || l.pre_reason
+                WHEN v.dup_of_corpus IS NOT NULL THEN 'dropped_duplicate_corpus'
+                WHEN cc.comp_dup_of IS NOT NULL
+                     OR (v.comp IS NOT NULL AND v.comp <> v.doc_id)
+                     THEN 'dropped_duplicate_batch'
+                ELSE 'kept' END AS outcome,
+           coalesce(v.dup_of_corpus, cc.comp_dup_of,
+                    CASE WHEN v.comp <> v.doc_id THEN v.comp END) AS dup_of
+    FROM labeled l
+    LEFT JOIN verd v USING (doc_id)
+    LEFT JOIN comp_corpus cc ON v.comp = cc.comp
+    """.format(
+        rep_ctes=_rep_doc_ctes("batch"),
+        rep_flag=_REP_FLAG_SQL,
+        csh=_shingle_sql("corpus"),
+        csig=_INCR_SIG_SQL.format(sh="csh"),
+        nsh=_shingle_sql("surv"),
+        nsig=_INCR_SIG_SQL.format(sh="nsh"),
+    ),
+)
+def train_curate_incremental(spark, sf_dir):
+    """Registered form: same doc_id % 4 corpus/batch split as
+    dedup_incremental, full filter chain on the batch side."""
+    aug = _augmented(spark, sf_dir)
+    corpus_sigs = minhash_signatures(aug.filter(F.col("doc_id") % 4 != 0))
+    batch = aug.filter(F.col("doc_id") % 4 == 0)
+    return curate_incremental(corpus_sigs, batch)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from engine.trainops import (
+    curate_incremental,
     dedup_incremental,
     minhash_signatures,
     updated_signature_index,
@@ -118,6 +119,46 @@ def test_state_carry_across_two_batches(spark):
     assert got == {
         200: ("duplicate_of_corpus", 101),
         201: ("new", None),
+    }
+
+
+def test_curate_incremental_outcomes_and_precedence(spark):
+    """Full delta-curation chain under the DEFAULT thresholds.  The Gopher
+    top-bigram>5% rule flags any all-distinct doc shorter than 21 words, so
+    this fixture uses 30-word texts (top bigram 1/29 ≈ 3.4%) — exact copies
+    still guarantee LSH hits (identical shingle sets ⇒ identical band sigs).
+    Precedence: quality fires before repetition (106 is both short AND
+    spammy → dropped_quality), repetition fires before dedup (107 is both
+    spammy AND an exact corpus duplicate → dropped_repetition)."""
+    long_a = " ".join(f"a{i}" for i in range(30))
+    long_c = " ".join(f"c{i}" for i in range(30))
+    long_d = " ".join(f"d{i}" for i in range(30))
+    spam = " ".join(["spam"] * 30)
+    corpus_sigs = minhash_signatures(
+        _docs(spark, [(1, long_a), (2, spam)])
+    )
+    batch = spark.createDataFrame(
+        [
+            {"doc_id": 100, "source": "s", "text": long_a},
+            {"doc_id": 101, "source": "s", "text": long_c},
+            {"doc_id": 102, "source": "s", "text": long_c},
+            {"doc_id": 105, "source": "s", "text": long_d},
+            {"doc_id": 106, "source": "s", "text": "spam spam"},
+            {"doc_id": 107, "source": "s", "text": spam},
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    got = {
+        r["doc_id"]: (r["outcome"], r["dup_of"])
+        for r in curate_incremental(corpus_sigs, batch).collect()
+    }
+    assert got == {
+        100: ("dropped_duplicate_corpus", 1),
+        101: ("kept", None),
+        102: ("dropped_duplicate_batch", 101),
+        105: ("kept", None),
+        106: ("dropped_quality", None),
+        107: ("dropped_repetition", None),
     }
 
 

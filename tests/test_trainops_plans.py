@@ -22,6 +22,8 @@ _PAIRING_QUERIES = [
     trainops.dedup_simhash_hamming,
     trainops.dedup_embedding_cosine,
     trainops.sim_batch_topk,
+    trainops.text_dedup_incremental,
+    trainops.train_curate_incremental,
 ]
 
 _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
