@@ -67,6 +67,16 @@ def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(near).unionByName(exact)
 
 
+def _let(value, build):
+    """LET-BIND ``value`` (a Column) as a lambda variable in ``build``
+    (Column → Column) — the single-element array + transform idiom from
+    engine/tables.py.  Higher-order functions evaluate interpreted, outside
+    codegen subexpression elimination, so any expression referenced inside
+    a lambda body is RE-EVALUATED per element/per use; binding it as the
+    lambda argument evaluates it exactly once per row."""
+    return F.element_at(F.transform(F.array(value), build), 1)
+
+
 # --- shingling: word trigrams, position-ordered -----------------------------
 
 
@@ -74,14 +84,18 @@ def _shingles(df: DataFrame) -> DataFrame:
     """(doc_id, shingle) — distinct word-3-gram shingles per doc.
     Guarded for <3-token docs (Spark's sequence() would run BACKWARDS for a
     negative stop, unlike DuckDB's generate_series which returns empty)."""
-    toks = F.split(F.col("text"), " ")
-    tri = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # token array LET-BOUND (see _let): referenced raw inside the transform
+    # lambda it would re-split the text once per shingle element
+    tri = _let(
+        F.split(F.col("text"), " "),
+        lambda toks: F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return df.select("doc_id", F.explode(F.array_distinct(tri)).alias("shingle"))
 
 
@@ -151,25 +165,49 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     (band, sig) so both the delta probe and the within-batch self-join are
     bucket-local (PLANS.md §5 pattern).
 
-    One aggregation pass computes all 4 band minima (4 min-exprs over the
-    same shingle rows), then posexplode to (band, sig) rows.  Wall-neutral
-    at sf0.1/32c (md5 compute dominates; interleaved A/B best-of-3: 6.24 s
-    explode-then-group vs 6.17 s) but the better shape for the hash
-    aggregate at scale: 4x fewer input rows and 4x fewer keys (doc_id vs
-    doc_id x band) for the same md5 count and the same shuffle bytes."""
-    sh = _shingles(docs)
-    return (
-        sh.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
-                for i in range(4)
-            ]
+    Signature computation is a PURE MAP PASS (see the in-body comment) —
+    the only exchanges left in MinHash dedup are the small (band, sig) rows
+    entering the LSH equi-join.  Lineage of the shape: explode-then-group
+    (r4) → one groupBy with 4 min-exprs (r5-mid, wall-neutral 6.24 vs
+    6.17 s at sf0.1/32c) → row-local array_min (r5-end), which deletes the
+    shingle exchange entirely."""
+    # Band minima are ROW-LOCAL: min(md5(band:shingle)) over one doc's
+    # distinct shingle array is an array_min over a transform — no explode,
+    # no groupBy, ZERO exchange.  The r4→r5 groupBy form shuffled every
+    # (doc_id, shingle-min partial) row; on the cluster protocol that gram/
+    # shingle exchange was the dominant non-scaling term (BENCH/BASELINE.md
+    # §4k).  min over md5 hex strings is lexicographic on both engines, so
+    # the DuckDB oracle (GROUP BY doc_id, band → min) is unchanged.
+    # <3-token docs keep the old semantics (absent — explode of an empty
+    # shingle set produced no rows), via the filter, not NULL sigs.
+    # Both the token array AND the distinct-shingle array are LET-BOUND
+    # (nested single-element array + transform, tables.py idiom): HOFs run
+    # interpreted, outside codegen subexpression elimination, so the naive
+    # form re-split the text once per shingle element and rebuilt the
+    # shingle array once per band (measured 4.24 s vs 2.55 on
+    # dedup_minhash_lsh at sf0.1/32c before the binding).
+    def band_mins(toks):
+        tri = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+            )
         )
-        .select(
-            "doc_id",
-            F.posexplode(F.array(*[f"s{i}" for i in range(4)])).alias("band", "sig"),
+        return _let(
+            tri,
+            lambda t: F.array(
+                *[
+                    F.array_min(
+                        F.transform(t, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+                    )
+                    for i in range(4)
+                ]
+            ),
         )
+
+    sigs = _let(F.split(F.col("text"), " "), band_mins)
+    return docs.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
+        "doc_id", F.posexplode(sigs).alias("band", "sig")
     )
 
 
@@ -1193,6 +1231,31 @@ REPETITION_SQL = f"""
 """
 
 
+def _max_equal_run(arr, elem_type: str):
+    """Longest run of equal ADJACENT elements in ``arr``, as a row-local
+    array aggregate (state: current run, best run, previous element).  Over
+    a SORTED array this is the max multiplicity of any value — the
+    shuffle-free form of explode → groupBy(key) → count → max.  NULL array
+    in → NULL out (CaseWhen-guarded callers rely on this)."""
+    step = lambda acc, x: F.when(  # noqa: E731
+        x.eqNullSafe(acc["prev"]), acc["run"] + 1
+    ).otherwise(F.lit(1))
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+            F.lit(None).cast(elem_type).alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            step(acc, x).alias("run"),
+            F.greatest(acc["best"], step(acc, x)).alias("best"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"].cast("long"),
+    )
+
+
 def repetition_flags(d: DataFrame) -> DataFrame:
     """Per-doc repetition signals over (doc_id, source, text) — the
     composable form a filtering pipeline actually joins/anti-joins on:
@@ -1206,91 +1269,102 @@ def repetition_flags(d: DataFrame) -> DataFrame:
     counters and flagged=false (per-side coalesce) — so inner-joining a
     pipeline on this frame never silently drops short docs.
 
-    Scale shape: two n-gram explode → equi-key groupBys and one per-doc
-    lag/cumsum window for run detection — no self-joins, no skewed keys
-    beyond doc size itself.
-
-    Measured and REJECTED (r5, 240k docs / pinned 8c): pre-partitioning the
-    input by doc_id to make every downstream groupBy/window/join
-    exchange-free (HashPartitioning on a subset of grouping keys satisfies
-    the distribution, explode preserves partitioning).  In theory one doc
-    shuffle replaces the gram shuffles; in practice wall went 106 → 152 s
-    with GC 12 → 67 s: the repartition subtree is planned once per consumer
-    (4 full doc-text shuffles unless runtime exchange reuse fires) and the
-    exchange-free aggregations run complete-mode — one big hash map per
-    partition instead of partial maps that emit early — which is exactly the
-    memory shape that thrashes.  The shuffled gram rows are narrow and
-    map-side combined; Spark's default two-phase agg wins here."""
-    w = F.split("text", " ")
-
-    # Gram IDENTITY is all the counters need (max/sum/countDistinct — the
-    # gram text never reaches the output), so hash each gram to int64 inside
-    # the transform: only 8-byte keys are materialized, exploded, and
-    # shuffled instead of gram strings (~4× fewer shuffle bytes — the term
-    # that shows up as cross-executor task-time inflation on the cluster
-    # protocol).  xxhash64 collisions would merge two counters within one
-    # doc: P ≈ k²/2⁶⁵ per doc (k grams/doc ~10³ → ~10⁻¹³), accepted and
-    # shared with the DuckDB oracle only at the count level (the oracle
-    # groups by gram text; equal counts are the contract).
-    grams = lambda n: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)])
-        ),
-    )
-    bg_doc = (
-        d.filter(F.size(w) >= 2)
-        .select("doc_id", F.explode(grams(2)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("total_bg"))
-    )
-    tg_doc = (
-        d.filter(F.size(w) >= 3)
-        .select("doc_id", F.explode(grams(3)).alias("g"))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("distinct_tg"), F.count("*").alias("total_tg"))
-    )
-    # Longest same-word run is a row-local sequential scan — an array
-    # aggregate over the words, NOT a posexplode + sort-window + two
-    # groupBys.  Wall-neutral single-node at 240k docs/8c (105.9 vs 107.6 s;
-    # the gram groupBys dominate) but it deletes a shuffle+sort of EVERY
-    # token string in the corpus — bytes that cross the network on a real
-    # cluster.  State: (current run, best run, previous word).
-    run_step = lambda acc, x: F.when(  # noqa: E731
-        x.eqNullSafe(acc["prev"]), acc["run"] + 1
-    ).otherwise(F.lit(1))
-    run_best = F.aggregate(
-        w,
-        F.struct(
-            F.lit(0).cast("int").alias("run"),
-            F.lit(0).cast("int").alias("best"),
-            F.lit(None).cast("string").alias("prev"),
-        ),
-        lambda acc, x: F.struct(
-            run_step(acc, x).alias("run"),
-            F.greatest(acc["best"], run_step(acc, x)).alias("best"),
-            x.alias("prev"),
-        ),
-        lambda acc: acc["best"].cast("long"),
-    )
+    Scale shape: a PURE MAP PASS — every counter is a function of one row's
+    word array (see _rep_counters), so the operator has ZERO
+    exchanges; per-doc cost is O(k log k) in the doc's gram count for the
+    one array sort.  Earlier r5 forms and their receipts: exploded-gram
+    groupBys (the gram exchange was the curation cluster protocol's
+    dominant non-scaling term — task-time +16% at 4 executors); doc_id
+    pre-partitioning for exchange-free groupBys measured and REJECTED
+    (wall 106 → 152 s, GC 12 → 67 s at 240k/8c: 4 un-reused doc-text
+    shuffles + complete-mode agg hash maps).  The row-local form subsumes
+    both — there is nothing left to co-partition."""
     flagged = F.coalesce(
         F.col("top_bg").cast("double") / F.col("total_bg") > 0.05, F.lit(False)
     ) | F.coalesce(
         F.lit(1.0) - F.col("distinct_tg").cast("double") / F.col("total_tg") > 0.3,
         F.lit(False),
     )
-    return (
-        d.select("doc_id", "source", run_best.alias("max_word_run"))
-        .join(bg_doc, "doc_id", "left")
-        .join(tg_doc, "doc_id", "left")
-        .withColumn("flagged", flagged)
-        .select(
-            "doc_id", "source", "top_bg", "total_bg",
-            "distinct_tg", "total_tg", "max_word_run", "flagged",
-        )
+    def counter(name):
+        # a closure, not a default arg: pyspark sizes the lambda's arity by
+        # its signature, so `lambda w, n=name` would get the element INDEX
+        # passed as n
+        return _let(F.split("text", " "), lambda w: _rep_counters(w)[name])
+
+    return d.select(
+        "doc_id",
+        "source",
+        *[
+            counter(name).alias(name)
+            for name in ("top_bg", "total_bg", "distinct_tg", "total_tg",
+                         "max_word_run")
+        ],
+    ).withColumn("flagged", flagged)
+
+
+def _rep_counters(w) -> dict:
+    """The per-doc repetition counters as row-local Column expressions over
+    a LET-BOUND word array ``w`` (callers bind F.split("text") via _let —
+    referenced raw inside the gram lambdas it would re-split the text once
+    per gram element) — shared by repetition_flags (materializes all of
+    them) and repetition_flag_col (composes just the flag inline, so
+    curation pipelines need NO join against a counters frame).
+
+    Gram IDENTITY is all the counters need (max-multiplicity /
+    countDistinct — the gram text never reaches the output), so each gram
+    is hashed to int64 inside the transform: the array sort compares 8-byte
+    ints, not strings.  xxhash64 collisions would merge two counters within
+    one doc: P ≈ k²/2⁶⁵ per doc (k grams/doc ~10³ → ~10⁻¹³), accepted and
+    shared with the DuckDB oracle only at the count level (the oracle
+    groups by gram text; equal counts are the contract).
+
+    Every counter is a function of ONE row's word array (max bigram
+    multiplicity = longest equal-adjacent run in the SORTED hashed-bigram
+    array; distinct trigrams = array_distinct) — no explode, no groupBy, no
+    join, ZERO exchange.  The r5-mid form exploded hashed grams into two
+    equi-key groupBys + a double join; those gram exchanges were the
+    curation job's dominant non-scaling term on the cluster protocol
+    (task-time +16% at 4 executors, BENCH/cluster-1x4-curation*.json).
+    CaseWhen short-circuits, so the sequence() in grams() never runs
+    backwards on short docs."""
+    grams = lambda n: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)])
+        ),
     )
+    return {
+        "top_bg": _max_equal_run(
+            F.when(F.size(w) >= 2, F.array_sort(grams(2))), "long"
+        ),
+        "total_bg": F.when(F.size(w) >= 2, (F.size(w) - 1).cast("long")),
+        "distinct_tg": F.when(
+            F.size(w) >= 3, F.size(F.array_distinct(grams(3))).cast("long")
+        ),
+        "total_tg": F.when(F.size(w) >= 3, (F.size(w) - 2).cast("long")),
+        # Longest same-word run: the same row-local sequential scan (landed
+        # r5 for the word array, deleting a shuffle+sort of every token
+        # string; wall-neutral single-node at 240k/8c, 105.9 vs 107.6 s).
+        "max_word_run": _max_equal_run(w, "string"),
+    }
+
+
+def repetition_flag_col():
+    """The Gopher repetition FLAG alone, as one row-local Column over
+    `text` — lets a filtering pipeline compute it inline (a withColumn on
+    the doc frame) instead of joining repetition_flags back on doc_id,
+    which re-shuffled the full doc frame for a row-local fact."""
+
+    def flag(w):
+        c = _rep_counters(w)
+        return F.coalesce(
+            c["top_bg"].cast("double") / c["total_bg"] > 0.05, F.lit(False)
+        ) | F.coalesce(
+            F.lit(1.0) - c["distinct_tg"].cast("double") / c["total_tg"] > 0.3,
+            F.lit(False),
+        )
+
+    return _let(F.split("text", " "), flag)
 
 
 @_q(
@@ -1418,19 +1492,22 @@ def _curation_outcomes(spark, sf_dir) -> DataFrame:
     docs = aug.withColumn(
         "pre_reason", F.when((n_tokens < 10) | (n_tokens > 500), "quality")
     )
-    qual_ok = docs.filter(F.col("pre_reason").isNull()).select(
-        "doc_id", "source", "text"
-    )
-    rep = repetition_flags(qual_ok).select("doc_id", "flagged")
-    labeled = docs.join(rep, "doc_id", "left").withColumn(
+    # The repetition flag is row-local (repetition_flag_col), so it's a
+    # withColumn on the doc frame — the earlier r5 form joined the
+    # repetition_flags counters frame back on doc_id, shuffling the full
+    # doc frame for a row-local fact.  CaseWhen short-circuits: quality
+    # failures never evaluate the gram expressions.
+    labeled = docs.withColumn(
         "pre_reason",
-        F.coalesce(F.col("pre_reason"), F.when(F.col("flagged"), "repetition")),
+        F.coalesce(
+            F.col("pre_reason"), F.when(repetition_flag_col(), "repetition")
+        ),
     )
     # DAG diamond: `labeled` feeds BOTH the dedup branch (survivors →
     # shingles → LSH → CC) and the final outcome join.  Without a lineage
-    # cut the quality+repetition subtree (two n-gram groupBys + a window)
-    # re-executes once per branch — measured 14.8 → 9.6 s at sf0.1/32c
-    # from this truncate alone (PLANS.md §4j).
+    # cut the quality+repetition subtree re-executes once per branch —
+    # measured 14.8 → 9.6 s at sf0.1/32c from this truncate alone
+    # (PLANS.md §4j).
     labeled = _truncate_lineage(
         labeled.select("doc_id", "source", "text", "pre_reason")
     )
@@ -1928,13 +2005,12 @@ def curate_incremental(
         "pre_reason",
         F.when((n_tokens < min_tokens) | (n_tokens > max_tokens), "quality"),
     )
-    qual_ok = docs.filter(F.col("pre_reason").isNull()).select(
-        "doc_id", "source", "text"
-    )
-    rep = repetition_flags(qual_ok).select("doc_id", "flagged")
-    labeled = docs.join(rep, "doc_id", "left").withColumn(
+    # row-local flag inline, same as _curation_outcomes — no counters join
+    labeled = docs.withColumn(
         "pre_reason",
-        F.coalesce(F.col("pre_reason"), F.when(F.col("flagged"), "repetition")),
+        F.coalesce(
+            F.col("pre_reason"), F.when(repetition_flag_col(), "repetition")
+        ),
     )
     # same DAG-diamond cut as _curation_outcomes: labeled feeds both the
     # dedup branch and the final outcome join (PLANS.md §4j)
