@@ -52,6 +52,14 @@ def main() -> None:
         "scales as task-time/cores",
     )
     ap.add_argument(
+        "--stage-dump",
+        default=None,
+        help="with --tasktime: also write a per-stage decomposition JSON "
+        "(run time, GC, shuffle local/remote bytes, fetch wait, task count, "
+        "stage name) to this path — localizes WHICH stages inflate between "
+        "parallelism levels instead of reporting one aggregate",
+    )
+    ap.add_argument(
         "--job",
         choices=("extraction", "curation"),
         default="extraction",
@@ -172,6 +180,8 @@ def main() -> None:
     if ev_dir:
         spark.stop()  # flush the event log
         task_s = gc_s = 0.0
+        stages: dict[int, dict] = {}
+        stage_names: dict[int, str] = {}
         import glob
 
         # Spark 4 writes rolling event logs as a DIRECTORY per app
@@ -180,6 +190,11 @@ def main() -> None:
                 continue
             with open(path, errors="ignore") as fh:
                 for line in fh:
+                    if '"SparkListenerStageCompleted"' in line:
+                        e = json.loads(line)
+                        si = e.get("Stage Info") or {}
+                        stage_names[si.get("Stage ID", -1)] = si.get("Stage Name", "")
+                        continue
                     if '"SparkListenerTaskEnd"' not in line:
                         continue
                     e = json.loads(line)
@@ -189,9 +204,39 @@ def main() -> None:
                     m = e.get("Task Metrics") or {}
                     task_s += m.get("Executor Run Time", 0) / 1000
                     gc_s += m.get("JVM GC Time", 0) / 1000
+                    if args.stage_dump:
+                        sid = e.get("Stage ID", -1)
+                        s = stages.setdefault(
+                            sid,
+                            {"run_s": 0.0, "gc_s": 0.0, "tasks": 0,
+                             "sh_local_mb": 0.0, "sh_remote_mb": 0.0,
+                             "fetch_wait_s": 0.0, "write_s": 0.0,
+                             "deser_s": 0.0},
+                        )
+                        s["run_s"] += m.get("Executor Run Time", 0) / 1000
+                        s["gc_s"] += m.get("JVM GC Time", 0) / 1000
+                        s["deser_s"] += m.get("Executor Deserialize Time", 0) / 1000
+                        s["tasks"] += 1
+                        sr = m.get("Shuffle Read Metrics") or {}
+                        s["sh_local_mb"] += sr.get("Local Bytes Read", 0) / 1e6
+                        s["sh_remote_mb"] += sr.get("Remote Bytes Read", 0) / 1e6
+                        s["fetch_wait_s"] += sr.get("Fetch Wait Time", 0) / 1000
+                        sw = m.get("Shuffle Write Metrics") or {}
+                        s["write_s"] += sw.get("Shuffle Write Time", 0) / 1e9
         # args.runs timed runs executed after timed_from_ms → per-run average
         rec["task_time_s"] = round(task_s / max(args.runs, 1), 1)
         rec["gc_time_s"] = round(gc_s / max(args.runs, 1), 1)
+        if args.stage_dump:
+            for sid, s in stages.items():
+                s["name"] = stage_names.get(sid, "")[:120]
+                for k in list(s):
+                    if isinstance(s[k], float):
+                        s[k] = round(s[k], 2)
+            with open(args.stage_dump, "w") as fh:
+                json.dump(
+                    {"cores": args.cores, "runs": args.runs, "stages": stages},
+                    fh, indent=1, sort_keys=True,
+                )
         import shutil
 
         shutil.rmtree(ev_dir, ignore_errors=True)

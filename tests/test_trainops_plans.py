@@ -184,6 +184,76 @@ def test_repetition_flags_covers_short_docs(spark):
     assert out[3]["total_tg"] == 1
 
 
+def test_repetition_flag_col_matches_flags_frame(spark):
+    """repetition_flag_col() (the inline row-local Column the curation
+    pipelines withColumn) must agree row-by-row with repetition_flags()'s
+    `flagged` — including NULL-counter short docs (coalesce → false) and
+    exactly-at-threshold docs."""
+    import pandas as pd
+
+    rows = [
+        {"doc_id": 1, "source": "s", "text": "spam ham " * 50 + "end"},
+        {"doc_id": 2, "source": "t", "text": " ".join(f"w{i}" for i in range(60))},
+        {"doc_id": 3, "source": "u", "text": "one"},
+        {"doc_id": 4, "source": "u", "text": "two words"},
+        {"doc_id": 5, "source": "u", "text": "go go go go stop " * 8},
+        # 40 distinct trigrams over 40 words → dup ratio 0, top-bg 1/39
+        {"doc_id": 6, "source": "v", "text": " ".join(f"x{i}" for i in range(40))},
+    ]
+    d = spark.createDataFrame(pd.DataFrame(rows))
+    frame = {
+        r["doc_id"]: r["flagged"]
+        for r in trainops.repetition_flags(d).collect()
+    }
+    inline = {
+        r["doc_id"]: r["f"]
+        for r in d.select("doc_id", trainops.repetition_flag_col().alias("f")).collect()
+    }
+    assert frame == inline and len(frame) == len(rows)
+
+
+def test_max_equal_run_matches_python_oracle(spark):
+    """_max_equal_run (the row-local longest-equal-adjacent-run aggregate
+    that replaced explode → groupBy → max for gram multiplicity) against a
+    pure-Python oracle over adversarial arrays: runs at the start, at the
+    end, singletons, all-equal, empty, and NULL-in (NULL array → NULL)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cases = [
+        ["a", "a", "b"],
+        ["a", "b", "b", "b"],
+        ["z"],
+        ["q"] * 7,
+        ["a", "b", "a", "b"],
+        [],
+        None,
+        ["r", "r", "s", "s", "s", "r", "r", "r", "r", "t"],
+    ]
+
+    def oracle(arr):
+        if arr is None:
+            return None
+        best = run = 0
+        prev = object()
+        for x in arr:
+            run = run + 1 if x == prev else 1
+            best = max(best, run)
+            prev = x
+        return best
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(cases)), "arr": cases})
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", trainops._max_equal_run(F.col("arr"), "string").alias("m")
+        ).collect()
+    }
+    assert got == {i: oracle(c) for i, c in enumerate(cases)}
+
+
 def test_train_corpus_filtered_has_no_all_pairs_join(spark):
     """The flagship curation composition must keep the bounded equi-join
     property of its parts (pairs come from the LSH band join over
