@@ -318,7 +318,7 @@ def main() -> None:
         )
     if args.ceiling:
         sys.path.insert(0, str(REPO / "bench"))
-        from scaling import raw_cpu_ceiling
+        from scaling import gram_cpu_ceiling, raw_cpu_ceiling
 
         ceil = raw_cpu_ceiling(n * cpe, n4 * cpe)
         result["cpu_ceiling"] = ceil
@@ -327,10 +327,22 @@ def main() -> None:
             for k in (
                 "scaling_efficiency",
                 "bitmap_scaling_efficiency",
-                "curation_scaling_efficiency",
             )
             if k in result
         }
+        if "curation_scaling_efficiency" in result:
+            # the md5 burn is cache-resident and near-linear on this VM;
+            # the curation map stages stream freshly-allocated gram arrays
+            # through memory, so their honest machine ceiling is the
+            # gram-shaped control (stage receipts: the dominant stages have
+            # ZERO remote shuffle — what inflates cross-level is the bus)
+            gceil = gram_cpu_ceiling(
+                n * cpe, n4 * cpe, f"{SRC_SF}/documents.parquet"
+            )
+            result["gram_cpu_ceiling"] = gceil
+            result["normalized"]["curation_scaling_efficiency"] = round(
+                result["curation_scaling_efficiency"] / gceil["efficiency"], 3
+            )
     result["passed"] = all(e >= 0.8 for e in effs)
     print(json.dumps(result))
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")

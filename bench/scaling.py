@@ -76,6 +76,88 @@ def raw_cpu_ceiling(n: int, n4: int, total: int = 24_000_000, rounds: int = 3) -
     return {"wall": {k: round(v, 2) for k, v in walls.items()}, "efficiency": round(eff, 3)}
 
 
+def _gram_work(args: tuple[str, int, int]) -> int:
+    """Per-worker slice of the gram-shaped ceiling workload: ``share``
+    doc-passes over the documents table at ``path`` starting at logical
+    index ``start`` (wrapping).  Each doc-pass is the curation map pass's
+    memory-traffic shape with NO Spark: token array build → bigram/trigram
+    string arrays → sort-based multiplicity/distinct (np.unique sorts, like
+    the engine's array_sort/array_distinct).  Workers read the parquet
+    themselves so the parent serializes no text (a parent-side pickle of
+    the corpus would add an identical serial term at both levels and bias
+    the measured ceiling DOWN — flattering the normalization)."""
+    path, start, share = args
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(path, columns=["text"]).column("text").to_pylist()
+    n = len(texts)
+    acc = 0
+    for j in range(start, start + share):
+        toks = np.array(texts[j % n].split())
+        bg = None
+        if toks.size >= 2:
+            bg = np.char.add(np.char.add(toks[:-1], " "), toks[1:])
+            _, cnt = np.unique(bg, return_counts=True)
+            acc += int(cnt.max())
+        if toks.size >= 3:
+            tri = np.char.add(np.char.add(bg[:-1], " "), toks[2:])
+            acc += len(np.unique(tri))
+    return acc
+
+
+def gram_cpu_ceiling(
+    n: int,
+    n4: int,
+    docs_parquet: str,
+    total_doc_passes: int = 240_000,
+    rounds: int = 3,
+) -> dict:
+    """The machine's scaling ceiling for GRAM-SHAPED work (the curation
+    flagship's dominant map stages: per-doc array allocation, string-array
+    hashing/sorting, distinct counting) at N vs 4N pinned processes, no
+    Spark.  The md5 burn (raw_cpu_ceiling) is cache-resident and scales
+    near-linearly on this VM; gram work streams freshly-allocated arrays
+    through memory every doc, so above ~8 concurrent workers it measures
+    the shared memory bus — the same artifact the decode ceiling
+    (BENCH/decode-ceiling.json) isolated for the bitmap job.  Levels
+    interleaved, best-of-``rounds``; the pool inherits a parent affinity
+    mask of exactly the level's core count, like the cluster workers'
+    taskset ranges."""
+    import os
+
+    have_affinity = hasattr(os, "sched_setaffinity")
+    old_mask = os.sched_getaffinity(0) if have_affinity else None
+    walls: dict[int, float | None] = {n: None, n4: None}
+    try:
+        for _ in range(rounds):
+            for procs in (n, n4):
+                share = total_doc_passes // procs
+                tasks = [(docs_parquet, i * share, share) for i in range(procs)]
+                if have_affinity:
+                    os.sched_setaffinity(0, set(range(procs)))
+                with mp.Pool(procs) as pool:
+                    t0 = time.time()
+                    pool.map(_gram_work, tasks)
+                    w = time.time() - t0
+                if have_affinity:
+                    os.sched_setaffinity(0, old_mask)
+                if walls[procs] is None or w < walls[procs]:
+                    walls[procs] = w
+    finally:
+        if have_affinity:
+            os.sched_setaffinity(0, old_mask)
+    eff = walls[n] / (4 * walls[n4])
+    return {
+        "what": "per-doc token/bigram/trigram array build + sort-based "
+        "distinct (numpy, pinned process pools, no Spark) — the curation "
+        "map pass's memory-traffic shape",
+        "doc_passes": total_doc_passes,
+        "wall": {k: round(v, 2) for k, v in walls.items()},
+        "efficiency": round(eff, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2, help="small parallelism level N")
