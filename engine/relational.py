@@ -206,9 +206,12 @@ def f2_regexp_extract(spark, sf_dir):
     )
 
 
-@_q(
+@_local_q(
     "f3_date_bucket",
-    "F3/F5 — date normalization + formatting (text_utils.py:29-65)",
+    "F3/F5 — date normalization + formatting (text_utils.py:29-65); retired "
+    "to the local registry r5 (F3 stays driver-attested through the "
+    "x_header_parse_massara flagship) to free the window slot for "
+    "dedup_incremental, the suite's only state-carry operator",
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
            count(*) AS cnt,

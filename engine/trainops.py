@@ -1908,11 +1908,13 @@ _INCR_SIG_SQL = """
 """
 
 
-@_local_q(
+@_q(
     "dedup_incremental",
     "training-data dedup — INCREMENTAL MinHash: nightly batch probed against "
     "the persisted corpus band-signature index (equi-join, no corpus "
-    "recompute) + within-batch CC with corpus-contamination transitivity",
+    "recompute) + within-batch CC with corpus-contamination transitivity "
+    "(promoted into the driver window r5 — the PLANS.md §5a priority — in "
+    "the slot freed by f3_date_bucket)",
     f"""
     WITH RECURSIVE aug AS ({{aug}}),
     corpus AS (SELECT * FROM aug WHERE doc_id % 4 <> 0),
