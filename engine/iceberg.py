@@ -20,19 +20,25 @@ from engine.io import OUTPUT_NAMES
 
 SPAN_STRUCT = "ARRAY<STRUCT<kind: STRING, text: STRING, media_ref: STRING, offset: INT>>"
 
-# spine columns mirror engine/pipeline.build_spine's output schema
-_SPINE_COLS = (
-    "doc_id STRING, offset INT, kind STRING, media_ref STRING, "
-    "out_text STRING, status STRING, reason STRING, conf DOUBLE, mode STRING, "
-    "qr_rotation INT"
-)
+# spine columns mirror engine/pipeline.build_spine's output schema —
+# single-sourced from engine.schema so io.py's schema-explicit spine reads
+# and this DDL can never drift apart
+from engine.schema import SPINE_DDL as _SPINE_COLS  # noqa: E402
 
 
 def input_ddl(catalog: str = "lake") -> list[str]:
-    """The two input tables, bucketed for the 10^12-scale joins: spans by
-    doc_id (storage-partitioned re-nest), media_blobs by media_ref
-    (shuffle-free features join with v2 bucketing), with small row groups so
-    the decode-at-scan stage gets real split granularity (PLANS.md §4)."""
+    """The two input tables, bucketed for 10^12 scale: spans by doc_id
+    (bounded-size co-located units for resume/MERGE), media_blobs by
+    media_ref, with small row groups so the decode-at-scan stage gets real
+    split granularity (PLANS.md §4).  Honest scope note (r5): blob
+    bucketing does NOT make the features join shuffle-free — the
+    decode-at-scan mapInArrow rewrites the schema, so its output carries no
+    recognized partitioning (the price of avoiding a pandas copy of every
+    payload byte), and the join shuffles the two SMALL frames (features +
+    span metadata) by design.  The storage-bucketing lever that IS
+    demonstrated end-to-end is the SPINE bucketed by doc_id
+    (io.materialize_run(bucket_spine=N), plan-asserted shuffle-free
+    re-nest — the engine's only full-text exchange)."""
     return [
         f"""
         CREATE TABLE IF NOT EXISTS {catalog}.docs.spans (

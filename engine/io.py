@@ -108,6 +108,43 @@ def expire_runs(base_dir: str, keep_hours: float = 72.0) -> list[str]:
     return removed
 
 
+def spine_table_name(run_id: str) -> str:
+    """Catalog identifier for a bucketed spine run (bucketBy requires
+    saveAsTable; the parquet files still land in the run directory via the
+    path option, so resume's directory/_SUCCESS discipline is unchanged)."""
+    import re
+
+    return "spine_run_" + re.sub(r"[^A-Za-z0-9_]", "_", run_id)
+
+
+def _read_spine(
+    spark: SparkSession, sdir: str, run_id: str, bucketed: bool
+) -> DataFrame:
+    """This run's spine for derivation.  Bucketed mode reads through the
+    catalog so the scan carries HashPartitioning(doc_id) into the derived
+    plans; if the table isn't in this session's catalog (healing an older
+    run in a fresh session — the in-memory catalog died with the session
+    that wrote it), fall back to the plain parquet read: identical rows,
+    the re-nest just pays its exchange again.  In production the catalog is
+    persistent (Iceberg/HMS) and the fallback never fires."""
+    if bucketed:
+        try:
+            t = spark.table(spine_table_name(run_id))
+            # same run_id can exist under another out_dir (tests, replays):
+            # only trust the catalog entry if it actually points at THIS
+            # run directory
+            marker = os.path.abspath(sdir)
+            if any(marker in f for f in t.inputFiles()):
+                return t
+        except Exception:
+            pass
+    # schema-explicit: a committed EMPTY bucketed run has _SUCCESS but no
+    # schema-bearing part file, so inference would fail on it
+    from engine.schema import SPINE_DDL
+
+    return spark.read.schema(SPINE_DDL).parquet(sdir)
+
+
 def derive_outputs(spine: DataFrame, run_id: str) -> dict[str, DataFrame]:
     """All derived output tables for ONE run, computed from that run's spine
     only.  Runs are disjoint by doc_id (the resume anti-join guarantees it),
@@ -129,6 +166,7 @@ def materialize_run(
     out_dir: str,
     run_id: str,
     resume: bool = True,
+    bucket_spine: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the pipeline with a durable spine checkpoint; returns the output
     frames read back from disk (cheap narrow scans, re-runnable).
@@ -146,16 +184,45 @@ def materialize_run(
     conf_hist/run_totals are computed from THIS run's spine and written under
     ``<table>/run=<run_id>``; earlier runs' committed outputs are reused
     as-is (re-derived from their spine only if a previous crash left them
-    missing).  The returned frames are the union over all committed runs."""
+    missing).  The returned frames are the union over all committed runs.
+
+    ``bucket_spine=N`` writes the spine CLUSTERED BY doc_id INTO N buckets
+    (Spark-native bucketing; the executable analogue of the Iceberg
+    ``bucket(doc_id)`` spine DDL in ICEBERG.md): every derived consumer
+    that groups by doc_id — reassemble's re-nest, the ONLY full-text
+    exchange left in the engine — then reads pre-clustered storage and
+    runs with ZERO shuffle (plan-asserted in tests/test_io_resume.py).
+    Size N to the corpus, not the cluster: at 10^12 docs pick N so one
+    bucket ≈ one task's worth of spans; N must stay fixed across runs so
+    cross-run unions stay co-clustered."""
     own = _run_subdir(out_dir, "spine", run_id)
     committed = (
         [d for d in committed_spine_dirs(out_dir) if d != own] if resume else []
     )
     todo = spans
     if committed:
-        done = spark.read.parquet(*committed).select("doc_id").distinct()
+        from engine.schema import SPINE_DDL
+
+        # schema-explicit for the same reason as _read_spine: an empty
+        # committed bucketed run carries no schema-bearing part file
+        done = (
+            spark.read.schema(SPINE_DDL)
+            .parquet(*committed)
+            .select("doc_id")
+            .distinct()
+        )
         todo = spans.join(done, "doc_id", "left_anti")
-    build_spine(spark, todo, blobs).write.mode("overwrite").parquet(own)
+    spine_df = build_spine(spark, todo, blobs)
+    if bucket_spine:
+        (
+            spine_df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(bucket_spine, "doc_id")
+            .option("path", own)
+            .saveAsTable(spine_table_name(run_id))
+        )
+    else:
+        spine_df.write.mode("overwrite").parquet(own)
     if not _is_committed(own):
         raise RuntimeError(
             f"spine write to {own} produced no _SUCCESS marker — resume "
@@ -176,7 +243,9 @@ def materialize_run(
             if sdir == own or not _is_committed(_run_subdir(out_dir, name, rid))
         ]
         if missing:
-            derived = derive_outputs(spark.read.parquet(sdir), rid)
+            derived = derive_outputs(
+                _read_spine(spark, sdir, rid, bool(bucket_spine)), rid
+            )
             for name in missing:
                 dpath = _run_subdir(out_dir, name, rid)
                 derived[name].write.mode("overwrite").parquet(dpath)

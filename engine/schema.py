@@ -90,6 +90,17 @@ PAGE_FEATURES_STRUCT = StructType(
     ]
 )
 
+# The spine (engine/pipeline.build_spine's output) as a DDL string — the
+# single source for the Iceberg spine DDL (engine/iceberg.py) and for
+# schema-explicit spine reads (engine/io._read_spine: a committed EMPTY
+# bucketed run writes _SUCCESS but no schema-bearing part file, so
+# inference-based reads would fail on it).
+SPINE_DDL = (
+    "doc_id STRING, offset INT, kind STRING, media_ref STRING, "
+    "out_text STRING, status STRING, reason STRING, conf DOUBLE, mode STRING, "
+    "qr_rotation INT"
+)
+
 # Lineage: one row per input span per run — FIXTURES.md §5.
 LINEAGE_SCHEMA = StructType(
     [

@@ -205,3 +205,75 @@ def test_missing_derived_outputs_self_heal(spark, corpus, tmp_path):
     assert r2["spans_out"].count() == 60
     total_spans = sum(len(r["spans"]) for r in corpus[0])
     assert r2["lineage"].count() == total_spans
+
+
+def test_bucketed_spine_outputs_equal_and_renest_is_shuffle_free(
+    spark, corpus, tmp_path
+):
+    """bucket_spine=N (the executable analogue of ICEBERG.md's
+    bucket(doc_id) spine DDL): derived outputs are IDENTICAL to the plain
+    parquet path, and the re-nest — the engine's only full-text shuffle —
+    runs with zero exchange over the bucketed spine."""
+    from engine.assemble import reassemble
+    from engine.io import spine_table_name
+
+    spans, blobs = _corpus_half(spark, corpus, 0, 60)
+    plain = materialize_run(
+        spark, spans, blobs, str(tmp_path / "plain"), run_id="bsp"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {spine_table_name('bsb')}")
+    bucketed = materialize_run(
+        spark, spans, blobs, str(tmp_path / "bucketed"), run_id="bsb",
+        bucket_spine=4,
+    )
+
+    def key(df):
+        return {
+            r["doc_id"]: [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in r["spans_out"]
+            ]
+            for r in df.collect()
+        }
+
+    assert key(plain["spans_out"]) == key(bucketed["spans_out"])
+    assert (
+        plain["lineage"].select("doc_id", "offset", "status").sort("doc_id", "offset").collect()
+        == bucketed["lineage"].select("doc_id", "offset", "status").sort("doc_id", "offset").collect()
+    )
+
+    # the scale property: re-nest over the bucketed spine needs NO exchange
+    # (bucketed scan carries HashPartitioning(doc_id) into the groupBy)
+    t = spark.table(spine_table_name("bsb"))
+    plan = reassemble(t)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan[:2000]
+    # while the plain-parquet spine pays the shuffle
+    p = spark.read.parquet(str(tmp_path / "plain" / "spine" / "run=bsp"))
+    plan_plain = reassemble(p)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan_plain
+
+
+def test_bucketed_spine_heals_without_catalog(spark, corpus, tmp_path):
+    """Healing an older bucketed run whose table is NOT in this session's
+    catalog falls back to the plain parquet read — identical rows, the
+    exchange just returns for that heal."""
+    import os
+    import shutil
+
+    from engine.io import spine_table_name
+
+    spans, blobs = _corpus_half(spark, corpus, 0, 30)
+    out = str(tmp_path / "run")
+    r1 = materialize_run(
+        spark, spans, blobs, out, run_id="hb", bucket_spine=4
+    )
+    n = r1["spans_out"].count()
+    # simulate a fresh session: catalog entry gone, files intact; and a
+    # crash that lost one derived output
+    spark.sql(f"DROP TABLE IF EXISTS {spine_table_name('hb')}")
+    shutil.rmtree(os.path.join(out, "spans_out", "run=hb"))
+    r2 = materialize_run(
+        spark, spans, blobs, out, run_id="hb2", bucket_spine=4
+    )
+    assert r2["spans_out"].count() == n
