@@ -114,6 +114,23 @@ def _shingle_sql(src: str = "aug") -> str:
 _SHINGLE_SQL = _shingle_sql()
 
 
+def _sig_sql(sh: str = "sh") -> str:
+    """Oracle-side twin of minhash_signatures over shingle CTE ``sh``:
+    4 bands from TWO md5 digests, each split into two 64-bit hex slices
+    (bands 0/1 ← md5('01:'||shingle), bands 2/3 ← md5('23:'||shingle)) —
+    the exact hash family the engine computes (see band_mins)."""
+    return f"""
+      SELECT doc_id, band,
+             min(substr(md5(CASE WHEN band < 2 THEN '01:' ELSE '23:' END || shingle),
+                        1 + (band % 2) * 16, 16)) AS sig
+      FROM {sh}, UNNEST([0, 1, 2, 3]) AS b(band)
+      GROUP BY doc_id, band
+"""
+
+
+_SIG_SQL = _sig_sql()
+
+
 # =========================================================================
 # Deduplication
 # =========================================================================
@@ -142,11 +159,7 @@ def dedup_exact(spark, sf_dir):
     f"""
     WITH aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLE_SQL}),
-    sig AS (
-      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
-      FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
-      GROUP BY doc_id, band
-    )
+    sig AS ({_SIG_SQL})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
     FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
@@ -171,13 +184,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     (r4) → one groupBy with 4 min-exprs (r5-mid, wall-neutral 6.24 vs
     6.17 s at sf0.1/32c) → row-local array_min (r5-end), which deletes the
     shingle exchange entirely."""
-    # Band minima are ROW-LOCAL: min(md5(band:shingle)) over one doc's
-    # distinct shingle array is an array_min over a transform — no explode,
-    # no groupBy, ZERO exchange.  The r4→r5 groupBy form shuffled every
+    # Band minima are ROW-LOCAL: per-band min over one doc's distinct
+    # shingle array is an array_min over a transform — no explode, no
+    # groupBy, ZERO exchange.  The r4→r5 groupBy form shuffled every
     # (doc_id, shingle-min partial) row; on the cluster protocol that gram/
     # shingle exchange was the dominant non-scaling term (BENCH/BASELINE.md
-    # §4k).  min over md5 hex strings is lexicographic on both engines, so
-    # the DuckDB oracle (GROUP BY doc_id, band → min) is unchanged.
+    # §4k).  min over hex strings is lexicographic on both engines, so the
+    # DuckDB oracle (_SIG_SQL) states the identical function.
     # <3-token docs keep the old semantics (absent — explode of an empty
     # shingle set produced no rows), via the filter, not NULL sigs.
     # Both the token array AND the distinct-shingle array are LET-BOUND
@@ -186,6 +199,20 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     # form re-split the text once per shingle element and rebuilt the
     # shingle array once per band (measured 4.24 s vs 2.55 on
     # dedup_minhash_lsh at sf0.1/32c before the binding).
+    # HASH FAMILY (r5-close): 4 bands from TWO md5 calls, each digest split
+    # into two 64-bit (16-hex-char) slices — halving the sig bytes that
+    # shuffle (LSH equi-join) and persist (the incremental-dedup index
+    # keeps 4 rows/doc forever), and halving md5 invocations.  Wall-NEUTRAL
+    # at sf0.1/32c (interleaved A/B, BENCH/ab_sig_r5.json: 1.02-1.04× —
+    # the interpreted-HOF machinery, not md5, dominates); kept for the
+    # bytes.  Disjoint slices of one digest are independent
+    # uniform hashes, so each band is a true 64-bit minhash; P(two docs'
+    # band-mins collide without sharing the min shingle) ~ k/2^64 per pair
+    # (k = shingles/doc ~10^3 → ~10^-16) — corpus-wide false candidate
+    # pairs stay negligible even at 10^12 docs.  (32-bit slices — 4 bands
+    # from ONE md5 — were considered and REJECTED: min-statistics
+    # concentrate near the low end of the space, k/2^32 ≈ 10^-7 per pair
+    # explodes into ~10^17 false pairs at that scale.)
     def band_mins(toks):
         tri = F.array_distinct(
             F.transform(
@@ -193,17 +220,31 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
                 lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
             )
         )
-        return _let(
-            tri,
-            lambda t: F.array(
-                *[
-                    F.array_min(
-                        F.transform(t, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+
+        def slices(t):
+            def digests(h01):
+                def bands(h23):
+                    halves = [(h01, 1), (h01, 17), (h23, 1), (h23, 17)]
+                    return F.array(
+                        *[
+                            F.array_min(
+                                F.transform(h, lambda d: F.substring(d, pos, 16))
+                            )
+                            for h, pos in halves
+                        ]
                     )
-                    for i in range(4)
-                ]
-            ),
-        )
+
+                return _let(
+                    F.transform(t, lambda s: F.md5(F.concat(F.lit("23:"), s))),
+                    bands,
+                )
+
+            return _let(
+                F.transform(t, lambda s: F.md5(F.concat(F.lit("01:"), s))),
+                digests,
+            )
+
+        return _let(tri, slices)
 
     sigs = _let(F.split(F.col("text"), " "), band_mins)
     return docs.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
@@ -564,11 +605,7 @@ def connected_components(
     f"""
     WITH RECURSIVE aug AS ({_AUG_SQL}),
     sh AS ({_SHINGLE_SQL}),
-    sig AS (
-      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
-      FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
-      GROUP BY doc_id, band
-    ),
+    sig AS ({_SIG_SQL}),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -1439,11 +1476,7 @@ CURATION_SQL = f"""
       JOIN labeled l USING (doc_id) WHERE l.pre_reason IS NULL
     ),
     sh AS ({_shingle_sql('surv')}),
-    sig AS (
-      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
-      FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
-      GROUP BY doc_id, band
-    ),
+    sig AS ({_SIG_SQL}),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -1902,7 +1935,9 @@ def updated_signature_index(
 
 
 _INCR_SIG_SQL = """
-      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+      SELECT doc_id, band,
+             min(substr(md5(CASE WHEN band < 2 THEN '01:' ELSE '23:' END || shingle),
+                        1 + (band % 2) * 16, 16)) AS sig
       FROM {sh}, UNNEST([0, 1, 2, 3]) AS b(band)
       GROUP BY doc_id, band
 """
