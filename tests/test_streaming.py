@@ -227,10 +227,20 @@ def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
     )
     cols = ["doc_id", "ts", "text"]
     for i, rows in enumerate(files):
+        path = src / f"part-{i}.parquet"
         pq.write_table(
             pa.Table.from_pylist([dict(zip(cols, r)) for r in rows], schema=pa_schema),
-            src / f"part-{i}.parquet",
+            path,
         )
+        # the file source orders its initial listing by modification time,
+        # with an UNDEFINED tie-break — back-to-back writes can land in one
+        # mtime tick and flip batch order (observed flake: part-1 processed
+        # first, so d2 genuinely became t0's first arrival).  Pin distinct
+        # mtimes so "arrival order" is the file index, as the test intends.
+        import os, time as _time  # noqa: E401
+
+        t = _time.time() - 100 + i * 10
+        os.utime(path, (t, t))
 
     batch = spark.read.parquet(str(src))
     stream = (
