@@ -18,6 +18,13 @@ search over the REAL band-min hashes: corpus 3 and 103 share exactly 2 of 4
 band signatures (corpus hit), 103 and 104 share exactly 2 (in-batch pair),
 corpus 3 and 104 share 0 — so 104's duplicate_in_batch verdict can ONLY come
 from the component-level corpus transitivity, never a direct probe hit.
+
+Re-search recipe (run whenever trainops.band_mins changes its hash family —
+the chain constants are family-specific): over permutations of w0..w11 as
+(a..f), A=[a,b,c,d] B=[b,c,d,e] C=[c,d,e,f]; band sig i = min over the
+doc's distinct shingles of md5(('01:' if i<2 else '23:')+shingle) hex
+slice [0:16] (even bands) / [16:32] (odd); pick the first with overlaps
+(A,B)=2, (B,C)=2, (A,C)=0.
 """
 
 from __future__ import annotations
@@ -37,9 +44,12 @@ T_C = "red orange yellow green blue indigo"
 T_D = "lorem ipsum dolor sit amet consectetur"
 T_E = "north south east west up down sideways"
 # search-verified chain (see module docstring): band overlaps 2 / 2 / 0
-T_CHAIN_CORPUS = "w0 w1 w2 w8"
-T_CHAIN_MID = "w1 w2 w8 w6"
-T_CHAIN_END = "w2 w8 w6 w4"
+# under the CURRENT hash family (r5-close: two md5 digests split into two
+# 64-bit slices each — re-search these whenever band_mins changes; the
+# search script is reproduced in the module docstring's recipe below)
+T_CHAIN_CORPUS = "w0 w1 w2 w6"
+T_CHAIN_MID = "w1 w2 w6 w4"
+T_CHAIN_END = "w2 w6 w4 w11"
 
 
 def _docs(spark, rows):
