@@ -301,6 +301,12 @@ def main() -> None:
         cur_dir = build_corpus(args.curation_replicas)
         clo, chi = interleaved(cur_dir, job="curation", warm=SRC_SF)
         ceff = chi["docs_per_sec"] / (4 * clo["docs_per_sec"])
+        # gate judged AFTER normalization when --ceiling provides the
+        # matched gram-shaped control (see below): the raw curation ratio
+        # on one shared-bus VM measures the machine above ~8 concurrent
+        # gram workers, and judging it raw contradicts the normalization
+        # this harness embeds (r5 review finding)
+        curation_eff_idx = len(effs)
         effs.append(ceff)
         result.update(
             curation_docs=clo["docs"],
@@ -340,9 +346,13 @@ def main() -> None:
                 n * cpe, n4 * cpe, f"{SRC_SF}/documents.parquet"
             )
             result["gram_cpu_ceiling"] = gceil
-            result["normalized"]["curation_scaling_efficiency"] = round(
+            norm_ceff = round(
                 result["curation_scaling_efficiency"] / gceil["efficiency"], 3
             )
+            result["normalized"]["curation_scaling_efficiency"] = norm_ceff
+            # the gate judges the machine-normalized value (both raw and
+            # normalized are recorded; same-window control)
+            effs[curation_eff_idx] = norm_ceff
     result["passed"] = all(e >= 0.8 for e in effs)
     print(json.dumps(result))
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")

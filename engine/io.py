@@ -111,10 +111,20 @@ def expire_runs(base_dir: str, keep_hours: float = 72.0) -> list[str]:
 def spine_table_name(run_id: str) -> str:
     """Catalog identifier for a bucketed spine run (bucketBy requires
     saveAsTable; the parquet files still land in the run directory via the
-    path option, so resume's directory/_SUCCESS discipline is unchanged)."""
+    path option, so resume's directory/_SUCCESS discipline is unchanged).
+    The raw run_id's hash is appended because sanitization alone would
+    collapse distinct ids ('r-1' vs 'r.1') onto one catalog entry — the
+    second write would silently replace the first run's bucketed-read
+    path."""
+    import hashlib
     import re
 
-    return "spine_run_" + re.sub(r"[^A-Za-z0-9_]", "_", run_id)
+    return (
+        "spine_run_"
+        + re.sub(r"[^A-Za-z0-9_]", "_", run_id)
+        + "_"
+        + hashlib.md5(run_id.encode()).hexdigest()[:8]
+    )
 
 
 def _read_spine(

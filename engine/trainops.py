@@ -1322,21 +1322,26 @@ def repetition_flags(d: DataFrame) -> DataFrame:
         F.lit(1.0) - F.col("distinct_tg").cast("double") / F.col("total_tg") > 0.3,
         F.lit(False),
     )
-    def counter(name):
-        # a closure, not a default arg: pyspark sizes the lambda's arity by
-        # its signature, so `lambda w, n=name` would get the element INDEX
-        # passed as n
-        return _let(F.split("text", " "), lambda w: _rep_counters(w)[name])
-
-    return d.select(
-        "doc_id",
-        "source",
-        *[
-            counter(name).alias(name)
-            for name in ("top_bg", "total_bg", "distinct_tg", "total_tg",
-                         "max_word_run")
-        ],
-    ).withColumn("flagged", flagged)
+    # ALL five counters come out of ONE let-bound tokenization as a struct,
+    # field-projected in a SECOND select: per-column _let bindings would
+    # split the text once per counter (measured: 5 `split(text)` instances
+    # in the optimized plan → 1 with this form; CollapseProject does not
+    # inline the struct because element_at(transform(...)) is not cheap and
+    # is referenced five times).
+    names = ("top_bg", "total_bg", "distinct_tg", "total_tg", "max_word_run")
+    counters = _let(
+        F.split("text", " "),
+        lambda w: F.struct(
+            *[_rep_counters(w)[name].alias(name) for name in names]
+        ),
+    )
+    return (
+        d.select("doc_id", "source", counters.alias("_rc"))
+        .select(
+            "doc_id", "source", *[F.col("_rc")[name].alias(name) for name in names]
+        )
+        .withColumn("flagged", flagged)
+    )
 
 
 def _rep_counters(w) -> dict:
@@ -1864,6 +1869,27 @@ def dedup_incremental(
     probe join's build side — at 10^12 docs that is the point.
     """
     new_sigs = minhash_signatures(new_docs)
+    # Hash-family format guard: a persisted index written under a DIFFERENT
+    # band_mins family (e.g. the pre-r5-close 32-hex 'i:'-prefix md5 sigs)
+    # would match NOTHING in the probe — every true corpus duplicate would
+    # silently come back 'new' and contaminate the index forever.  The
+    # current family's sigs are exactly 16 hex chars; any other length
+    # raises ON THE EXECUTOR at first touch (when-guarded, so the happy
+    # path costs one length() per probe row), turning a stale index into a
+    # loud failure instead of silent duplicate admission.
+    guarded_sig = F.when(F.length("sig") == 16, F.col("sig")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "corpus_sigs hash-family mismatch: expected 16-hex band "
+                    "sigs (two-md5 64-bit-slice family, engine.trainops."
+                    "minhash_signatures); got sig="
+                ),
+                F.col("sig"),
+            )
+        )
+    )
+    corpus_sigs = corpus_sigs.withColumn("sig", guarded_sig)
     c = corpus_sigs.alias("c")
     n = new_sigs.alias("n")
     corpus_hits = (
@@ -1934,13 +1960,10 @@ def updated_signature_index(
     return corpus_sigs.unionByName(new_sigs.join(kept, "doc_id", "left_semi"))
 
 
-_INCR_SIG_SQL = """
-      SELECT doc_id, band,
-             min(substr(md5(CASE WHEN band < 2 THEN '01:' ELSE '23:' END || shingle),
-                        1 + (band % 2) * 16, 16)) AS sig
-      FROM {sh}, UNNEST([0, 1, 2, 3]) AS b(band)
-      GROUP BY doc_id, band
-"""
+# the same fragment as _SIG_SQL with the shingle CTE left as a .format
+# placeholder — single-sourced from _sig_sql so a hash-family change can
+# never update one oracle copy and miss the other
+_INCR_SIG_SQL = _sig_sql("{sh}")
 
 
 @_q(

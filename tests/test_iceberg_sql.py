@@ -80,3 +80,27 @@ def test_output_ddl_matches_live_schemas(spark):
     }
     want["run_id"] = "STRING"
     assert got == want
+
+
+def test_spine_ddl_matches_build_spine_schema(spark):
+    """SPINE_DDL (the single source for Iceberg DDL and io.py's
+    schema-explicit resume/heal reads) must equal build_spine's LIVE output
+    schema: an explicit-schema parquet read silently drops a column the
+    DDL doesn't know about, so drift here would make healed derived
+    outputs diverge from fresh ones without an error."""
+    from pyspark.sql.types import StructType
+
+    from engine.fixtures import corpus_rows
+    from engine.pipeline import build_spine
+    from engine.schema import MEDIA_BLOBS_SCHEMA, SPANS_SCHEMA, SPINE_DDL
+
+    spans_rows, blob_rows = corpus_rows(4, seed=3)
+    live = build_spine(
+        spark,
+        spark.createDataFrame(spans_rows, SPANS_SCHEMA),
+        spark.createDataFrame(blob_rows, MEDIA_BLOBS_SCHEMA),
+    ).schema
+    pinned = StructType.fromDDL(SPINE_DDL)
+    assert [(f.name, f.dataType) for f in live.fields] == [
+        (f.name, f.dataType) for f in pinned.fields
+    ]

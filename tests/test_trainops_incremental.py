@@ -184,3 +184,19 @@ def test_incremental_plan_has_no_all_pairs_join(spark):
     )
     for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in plan, f"plan contains {marker}:\n{plan[:2000]}"
+
+
+def test_stale_hash_family_index_fails_loud(spark):
+    """A persisted index written under a DIFFERENT band_mins hash family
+    (e.g. the pre-r5-close 32-hex 'i:'-prefix md5 sigs) must raise, not
+    silently verdict every true duplicate as 'new' (probe join matches
+    nothing across families)."""
+    import pytest
+
+    stale = spark.createDataFrame(
+        [{"doc_id": 1, "band": 0, "sig": "0" * 32}],
+        "doc_id: long, band: int, sig: string",
+    )
+    batch = _docs(spark, [(100, T_A)])
+    with pytest.raises(Exception, match="hash-family mismatch"):
+        dedup_incremental(stale, batch).collect()
