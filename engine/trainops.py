@@ -632,6 +632,113 @@ def dedup_components(spark, sf_dir):
     return connected_components(edges)
 
 
+# --- cross-document exact-substring dedup (span-level) ----------------------
+
+_SUBSTR_K = 8  # gram width in words; ExactSubstr uses 50 BPE tokens — 8 words
+#               is the same order of magnitude on this corpus's short docs
+
+
+def duplicated_spans(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
+    """Cross-document duplicated SPANS — the ExactSubstr dedup of Lee et al.
+    2021 (arXiv:2107.06499) re-expressed as three slim shuffles instead of a
+    suffix array: any word ``k``-gram occurring in >1 document marks its
+    k-token window as duplicated, and overlapping/touching windows merge
+    into maximal per-doc spans (gaps-and-islands over positions).
+
+    Returns (doc_id, span_start, span_end) with 0-based word offsets,
+    end-exclusive.  Doc-level dedup (dedup_exact/minhash) removes whole
+    near-copies; this finds the boilerplate/quote regions INSIDE otherwise
+    unique docs — the case doc-level dedup cannot see.
+
+    Scale shape: the gram table is ~1 row per corpus token but each row is
+    only (doc_id, pos, 16-byte md5) — the text itself never shuffles.
+    groupBy(gh) and the semi-join back are co-partitioned on gh (one
+    exchange each, map-side partial for the distinct-doc count); the island
+    merge is one doc_id window.  A stop-phrase gram shared by millions of
+    docs is not skew to fix but signal: every doc containing it IS
+    partially duplicated, and the per-doc fan-out stays bounded by doc
+    length.  No self-join, no cartesian, payload-free shuffles — linear at
+    100 TB where suffix-array ExactSubstr needs a global sort."""
+    grams = _let(
+        F.split(F.col("text"), " "),
+        lambda toks: F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("gh"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>")),
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", "g.pos", "g.gh"
+    )
+    # Fork point: the gram table feeds BOTH the distinct-doc count and the
+    # probe side of the semi-join.  Left lazy, each branch re-tokenizes and
+    # re-md5s the whole corpus (the DAG-diamond recompute measured 1.53× on
+    # the curation flagship).  ReuseExchange cannot cut this one: column
+    # pruning gives the two branches DIFFERENT exchange subtrees (the count
+    # branch drops pos), so they never canonicalize equal — materialize the
+    # fork instead, per the engine's _truncate_lineage discipline.
+    g = _truncate_lineage(g)
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    hits = g.join(dup, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0),
+    ).withColumn("isl", F.sum("brk").over(w))
+    return isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k).cast("int").alias("span_end"),
+    ).select("doc_id", "span_start", "span_end")
+
+
+@_local_q(
+    "dedup_substring_spans",
+    "training-data dedup — cross-doc exact-substring spans (ExactSubstr, "
+    "Lee et al. 2021): word 8-grams hashed and counted across docs, "
+    "windows of >1-doc grams merged into maximal per-doc spans",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(t[i:i+{_SUBSTR_K - 1}], ' ')) AS gh
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SUBSTR_K - 1})) AS u(i)
+      WHERE len(t) >= {_SUBSTR_K}
+    ),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          + {_SUBSTR_K}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + {_SUBSTR_K} AS INT) AS span_end
+    FROM grp GROUP BY doc_id, isl_id
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    return duplicated_spans(_augmented(spark, sf_dir))
+
+
 _BPE_RE = r"'(?:s|t|re|ve|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 

@@ -24,6 +24,7 @@ _PAIRING_QUERIES = [
     trainops.sim_batch_topk,
     trainops.text_dedup_incremental,
     trainops.train_curate_incremental,
+    trainops.dedup_substring_spans,
 ]
 
 _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -369,3 +370,37 @@ def test_sample_stratified_map_only_and_honors_rates(spark):
     a = {r["doc_id"] for r in kept.select("doc_id").collect()}
     b = {r["doc_id"] for r in trainops.sample_stratified(docs).select("doc_id").collect()}
     assert a == b
+
+
+def test_duplicated_spans_merges_and_breaks_islands(spark):
+    """Hand-built corpus with k=3 grams: shared windows must merge into
+    maximal spans (touching spans included), distinct regions must break,
+    and docs with no cross-doc gram must be absent."""
+    import pandas as pd
+
+    rows = [
+        # docs 1/2 share "a b c d e" → doc1 span [0,5), doc2 span [2,7)
+        {"doc_id": 1, "text": "a b c d e f2 g2 h2"},
+        {"doc_id": 2, "text": "x y a b c d e q"},
+        # no gram shared with anyone → no output row
+        {"doc_id": 3, "text": "p q r s t"},
+        # two shared grams separated by a gap → TWO spans [0,3) and [6,9)
+        {"doc_id": 4, "text": "a b c Z1 Z2 Z3 d e f"},
+        # shared grams at pos 0 and 3 touch (3 <= 0+3) → ONE span [0,6)
+        {"doc_id": 5, "text": "a b c d e f"},
+        # same two grams with a 1-token spacer → break: [0,3) and [4,7)
+        {"doc_id": 6, "text": "a b c q1 d e f"},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = trainops.duplicated_spans(docs, k=3).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for v in spans.values():
+        v.sort()
+    assert spans[1] == [(0, 5)]
+    assert spans[2] == [(2, 7)]
+    assert 3 not in spans
+    assert spans[4] == [(0, 3), (6, 9)]
+    assert spans[5] == [(0, 6)]
+    assert spans[6] == [(0, 3), (4, 7)]
