@@ -61,7 +61,7 @@ def build_corpus(replicas: int) -> str:
         con.execute(
             f"""
             COPY (
-              SELECT doc_id + {k} * 1000000 AS doc_id,
+              SELECT doc_id + {k}::BIGINT * 1000000 AS doc_id,
                      replace(text, ' ', '_{k} ') || '_{k}' AS text,
                      lang, source
               FROM read_parquet('{SRC_SF}/documents.parquet')

@@ -739,6 +739,126 @@ def dedup_substring_spans(spark, sf_dir):
     return duplicated_spans(_augmented(spark, sf_dir))
 
 
+def scrub_duplicated_spans(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
+    """The remedy half of ExactSubstr dedup: cut every cross-document
+    duplicated span out of each doc and return the scrubbed text — what Lee
+    et al. 2021 apply to the corpus after detection (one copy of the
+    duplicated region survives corpus-wide only if some doc's occurrence
+    falls below the gram width; the paper accepts the same).
+
+    Output: (doc_id, kept_tokens, dup_tokens, scrubbed_fp, scrubbed_text).
+    Docs with no duplicated span pass through whole; fully-duplicated docs
+    (exact copies) come out empty — doc-level dedup is the cheaper tool for
+    those, which is why train_corpus_filtered runs BEFORE span scrubbing in
+    a full pipeline.
+
+    Scale shape: spans aggregate to one small array per affected doc (few
+    spans × 8 bytes), joined back on doc_id — broadcastable at any realistic
+    duplication rate, shuffle-join fallback is still linear.  The token
+    filter is per-row Catalyst (filter + exists over the span array, O(len ×
+    spans) with spans per doc bounded), so the rebuild never shuffles
+    text."""
+    spans = (
+        duplicated_spans(docs, k)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    joined = docs.join(spans, "doc_id", "left")
+    # The whole output is ONE nested-_let expression (toks bound once, the
+    # filtered array bound once, scrubbed text bound once) so the HOF filter
+    # runs exactly once per row — written as four separate select() columns
+    # it was evaluated 5× per row (HOFs get no codegen CSE).
+    out = _let(
+        F.split(F.col("text"), " "),
+        lambda toks: _let(
+            F.filter(
+                toks,
+                lambda w, i: ~F.exists(
+                    F.coalesce(
+                        F.col("spans"),
+                        F.array().cast(
+                            "array<struct<span_start:int,span_end:int>>"
+                        ),
+                    ),
+                    lambda s: (i >= s.span_start) & (i < s.span_end),
+                ),
+            ),
+            lambda kept: _let(
+                F.concat_ws(" ", kept),
+                lambda scrubbed: F.struct(
+                    F.size(kept).alias("kept_tokens"),
+                    (F.size(toks) - F.size(kept)).alias("dup_tokens"),
+                    F.md5(scrubbed).alias("scrubbed_fp"),
+                    scrubbed.alias("scrubbed_text"),
+                ),
+            ),
+        ),
+    )
+    return joined.select("doc_id", out.alias("o")).select("doc_id", "o.*")
+
+
+@_local_q(
+    "dedup_substring_scrub",
+    "training-data dedup — ExactSubstr remedy: duplicated spans cut from "
+    "each doc's token stream, scrubbed text fingerprinted",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(t[i:i+{_SUBSTR_K - 1}], ' ')) AS gh
+      FROM toks0, UNNEST(generate_series(1, len(t) - {_SUBSTR_K - 1})) AS u(i)
+      WHERE len(t) >= {_SUBSTR_K}
+    ),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          + {_SUBSTR_K}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + {_SUBSTR_K} AS span_end
+      FROM grp GROUP BY doc_id, isl_id
+    ),
+    words AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS w
+      FROM toks0, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    keep AS (
+      SELECT words.doc_id, words.pos, words.w
+      FROM words LEFT JOIN spans s
+        ON words.doc_id = s.doc_id
+       AND words.pos >= s.span_start AND words.pos < s.span_end
+      WHERE s.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS kept_tokens,
+             string_agg(w, ' ' ORDER BY pos) AS scrubbed
+      FROM keep GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(a.kept_tokens, 0) AS INT) AS kept_tokens,
+           CAST(len(t.t) - coalesce(a.kept_tokens, 0) AS INT) AS dup_tokens,
+           md5(coalesce(a.scrubbed, '')) AS scrubbed_fp,
+           coalesce(a.scrubbed, '') AS scrubbed_text
+    FROM toks0 t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_substring_scrub(spark, sf_dir):
+    return scrub_duplicated_spans(_augmented(spark, sf_dir))
+
+
 _BPE_RE = r"'(?:s|t|re|ve|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 

@@ -25,6 +25,7 @@ _PAIRING_QUERIES = [
     trainops.text_dedup_incremental,
     trainops.train_curate_incremental,
     trainops.dedup_substring_spans,
+    trainops.dedup_substring_scrub,
 ]
 
 _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -404,3 +405,33 @@ def test_duplicated_spans_merges_and_breaks_islands(spark):
     assert spans[4] == [(0, 3), (6, 9)]
     assert spans[5] == [(0, 6)]
     assert spans[6] == [(0, 3), (4, 7)]
+
+
+def test_scrub_duplicated_spans_cuts_only_duplicated_regions(spark):
+    """The remedy half: shared regions are cut, unique tokens survive in
+    order, span-free docs pass through byte-identical, fully-duplicated
+    docs come out empty (kept_tokens 0, not a missing row)."""
+    import pandas as pd
+
+    rows = [
+        {"doc_id": 1, "text": "a b c d e f2 g2 h2"},
+        {"doc_id": 2, "text": "x y a b c d e q"},
+        {"doc_id": 3, "text": "p q r s t"},
+        {"doc_id": 5, "text": "a b c d e f"},
+        {"doc_id": 6, "text": "a b c q1 d e f"},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in trainops.scrub_duplicated_spans(docs, k=3).collect()
+    }
+    assert sorted(out) == [1, 2, 3, 5, 6]  # every input doc appears
+    assert out[1]["scrubbed_text"] == "f2 g2 h2"
+    assert out[2]["scrubbed_text"] == "x y q"
+    assert out[3]["scrubbed_text"] == "p q r s t" and out[3]["dup_tokens"] == 0
+    assert out[5]["scrubbed_text"] == "" and out[5]["kept_tokens"] == 0
+    assert out[6]["scrubbed_text"] == "q1"
+    # counters partition the token count
+    toklen = {r["doc_id"]: len(r["text"].split(" ")) for r in rows}
+    for d, r in out.items():
+        assert r["kept_tokens"] + r["dup_tokens"] == toklen[d]
