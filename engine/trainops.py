@@ -2063,6 +2063,93 @@ def text_sample_stratified(spark, sf_dir):
     )
 
 
+# --- sequence packing (training-batch assembly) ------------------------------
+
+PACK_SEQ_LEN = 2048
+PACK_BUCKETS = 16
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = PACK_SEQ_LEN, buckets: int = PACK_BUCKETS
+) -> DataFrame:
+    """Pack documents into fixed-token-length training sequences: the last
+    curation step before a corpus feeds a trainer.  GPT-style greedy packing
+    with document splitting — docs concatenate in a deterministic shuffled
+    order and a doc crossing a seq_len boundary spills into the next
+    sequence (start_offset tells the consumer where inside its first
+    sequence the doc begins).
+
+    Per doc: (doc_id, bucket, seq_id, start_offset, n_tokens), all integer,
+    bit-reproducible across engines and re-runs: the shuffle order is the
+    Knuth multiplicative hash of doc_id (same no-rand() discipline as
+    sample_stratified — a task retry on a 1000-executor run must not change
+    which sequence a doc lands in), tokens are the BPE-ish pre-tokenizer
+    count of text_tokens_bpe.
+
+    Scale shape: one map projection (token count + hash — text is dropped
+    before any exchange), one shuffle on bucket, one running-total window
+    per bucket.  Packing is BUCKET-LOCAL precisely so there is no global
+    single-partition window: after a uniform hash shuffle any order is as
+    good as any other, so bucket boundaries cost nothing but bound each
+    window task's input to corpus/buckets.  Size buckets to the cluster's
+    task slots at 10^12 docs; 16 matches this sandbox."""
+    ord_col = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(2**32)
+    slim = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias(
+            "n_tokens"
+        ),
+        ord_col.alias("ord"),
+        (ord_col % F.lit(buckets)).cast("int").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return slim.select(
+        "doc_id",
+        "bucket",
+        F.floor(cum / seq_len).cast("int").alias("seq_id"),
+        (cum % seq_len).cast("int").alias("start_offset"),
+        "n_tokens",
+    )
+
+
+@_local_q(
+    "text_pack_sequences",
+    "training-batch assembly — greedy sequence packing: deterministic "
+    "Knuth-hash shuffle order, bucket-local running token total, "
+    "seq_id/start_offset per doc at seq_len 2048",
+    f"""
+    WITH slim AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))
+               AS n_tokens,
+             (doc_id * {_KNUTH}) % 4294967296 AS ord,
+             CAST((doc_id * {_KNUTH}) % 4294967296 % {PACK_BUCKETS} AS INT)
+               AS bucket
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM slim
+    )
+    SELECT doc_id, bucket,
+           CAST(floor(cum / {PACK_SEQ_LEN}) AS INT) AS seq_id,
+           CAST(cum % {PACK_SEQ_LEN} AS INT) AS start_offset,
+           CAST(n_tokens AS INT) AS n_tokens
+    FROM packed
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    return pack_sequences(load(spark, sf_dir, "documents"))
+
+
 # =========================================================================
 # Incremental dedup — nightly-delta state carry (reference has no analogue;
 # this is the training-data-pipeline op a 10^12-doc corpus actually runs:

@@ -435,3 +435,43 @@ def test_scrub_duplicated_spans_cuts_only_duplicated_regions(spark):
     toklen = {r["doc_id"]: len(r["text"].split(" ")) for r in rows}
     for d, r in out.items():
         assert r["kept_tokens"] + r["dup_tokens"] == toklen[d]
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing is a bijection on docs with greedy bucket-local layout:
+    every doc appears once; within each bucket the running offsets are
+    exactly the prefix sums of token counts in the deterministic shuffle
+    order (so seq_id * seq_len + start_offset is contiguous); and a
+    second evaluation reproduces the identical layout (task-retry-safe)."""
+    from pyspark.sql import functions as F
+
+    from engine.relational import load
+
+    docs = load(spark, SF_DIR, "documents")
+    seq_len = 512
+    packed = trainops.pack_sequences(docs, seq_len=seq_len, buckets=4)
+    rows = packed.collect()
+    assert len(rows) == docs.count()
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    # greedy layout: per bucket, sorted by global position, each doc starts
+    # exactly where the previous one ended
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["seq_id"] * seq_len + r["start_offset"])
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] == cum // seq_len, (bucket, r)
+            assert r["start_offset"] == cum % seq_len, (bucket, r)
+            cum += r["n_tokens"]
+    # deterministic across evaluations
+    again = {
+        (r["doc_id"], r["bucket"], r["seq_id"], r["start_offset"])
+        for r in trainops.pack_sequences(docs, seq_len=seq_len, buckets=4).collect()
+    }
+    assert again == {
+        (r["doc_id"], r["bucket"], r["seq_id"], r["start_offset"]) for r in rows
+    }
