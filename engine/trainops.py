@@ -650,6 +650,14 @@ def duplicated_spans(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     near-copies; this finds the boilerplate/quote regions INSIDE otherwise
     unique docs — the case doc-level dedup cannot see.
 
+    Deliberate narrowing vs the paper: the ``count_distinct(doc_id) > 1``
+    gate detects CROSS-document repeats only.  A substring repeated twice
+    inside one otherwise-unique doc yields no span here — that degeneracy
+    is the repetition filters' job (``repetition_flags``: duplicate-trigram
+    ratio, ``_max_equal_run``), which flag rather than scrub, because
+    cutting every occurrence of a within-doc repeat would delete the
+    content entirely instead of deduplicating it.
+
     Scale shape: the gram table is ~1 row per corpus token but each row is
     only (doc_id, pos, 16-byte md5) — the text itself never shuffles.
     groupBy(gh) and the semi-join back are co-partitioned on gh (one
@@ -701,26 +709,27 @@ def duplicated_spans(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     ).select("doc_id", "span_start", "span_end")
 
 
-@_local_q(
-    "dedup_substring_spans",
-    "training-data dedup — cross-doc exact-substring spans (ExactSubstr, "
-    "Lee et al. 2021): word 8-grams hashed and counted across docs, "
-    "windows of >1-doc grams merged into maximal per-doc spans",
-    f"""
-    WITH aug AS ({_AUG_SQL}),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+def _substr_spans_sql(k: int = _SUBSTR_K) -> str:
+    """Shared oracle CTE chain for the ExactSubstr family — the SQL twin of
+    ``duplicated_spans`` (toks0 → grams → dup → hits → isl → grp → spans),
+    factored like ``_shingle_sql`` so the detection and remedy oracles are
+    provably the same logic: a k/gate/break tweak edits ONE place, and a
+    half-applied change surfaces as a parity failure instead of a silent
+    oracle fork."""
+    return f"""
+    toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
     grams AS (
       SELECT doc_id, i - 1 AS pos,
-             md5(array_to_string(t[i:i+{_SUBSTR_K - 1}], ' ')) AS gh
-      FROM toks, UNNEST(generate_series(1, len(t) - {_SUBSTR_K - 1})) AS u(i)
-      WHERE len(t) >= {_SUBSTR_K}
+             md5(array_to_string(t[i:i+{k - 1}], ' ')) AS gh
+      FROM toks0, UNNEST(generate_series(1, len(t) - {k - 1})) AS u(i)
+      WHERE len(t) >= {k}
     ),
     dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
     hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
     isl AS (
       SELECT doc_id, pos,
              CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                          + {_SUBSTR_K}
+                          + {k}
                   THEN 1 ELSE 0 END AS brk
       FROM hits
     ),
@@ -728,11 +737,25 @@ def duplicated_spans(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
       SELECT doc_id, pos,
              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
       FROM isl
-    )
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end
+      FROM grp GROUP BY doc_id, isl_id
+    )"""
+
+
+@_local_q(
+    "dedup_substring_spans",
+    "training-data dedup — cross-doc exact-substring spans (ExactSubstr, "
+    "Lee et al. 2021): word 8-grams hashed and counted across docs, "
+    "windows of >1-doc grams merged into maximal per-doc spans",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    {_substr_spans_sql()}
     SELECT doc_id,
-           CAST(min(pos) AS INT) AS span_start,
-           CAST(max(pos) + {_SUBSTR_K} AS INT) AS span_end
-    FROM grp GROUP BY doc_id, isl_id
+           CAST(span_start AS INT) AS span_start,
+           CAST(span_end AS INT) AS span_end
+    FROM spans
     """,
 )
 def dedup_substring_spans(spark, sf_dir):
@@ -765,7 +788,17 @@ def scrub_duplicated_spans(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
             F.collect_list(F.struct("span_start", "span_end")).alias("spans")
         )
     )
-    joined = docs.join(spans, "doc_id", "left")
+    # Null-fill the span array ONCE in the join projection: referenced from
+    # inside the HOF filter lambda below, a coalesce(col, empty-array-cast)
+    # would be re-evaluated per TOKEN (lambda bodies get no CSE) — here it
+    # is one per-row expression and the lambda reads a plain attribute.
+    joined = docs.join(spans, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce(
+            F.col("spans"),
+            F.array().cast("array<struct<span_start:int,span_end:int>>"),
+        ),
+    )
     # The whole output is ONE nested-_let expression (toks bound once, the
     # filtered array bound once, scrubbed text bound once) so the HOF filter
     # runs exactly once per row — written as four separate select() columns
@@ -776,12 +809,7 @@ def scrub_duplicated_spans(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
             F.filter(
                 toks,
                 lambda w, i: ~F.exists(
-                    F.coalesce(
-                        F.col("spans"),
-                        F.array().cast(
-                            "array<struct<span_start:int,span_end:int>>"
-                        ),
-                    ),
+                    F.col("spans"),
                     lambda s: (i >= s.span_start) & (i < s.span_end),
                 ),
             ),
@@ -805,31 +833,7 @@ def scrub_duplicated_spans(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     "each doc's token stream, scrubbed text fingerprinted",
     f"""
     WITH aug AS ({_AUG_SQL}),
-    toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
-    grams AS (
-      SELECT doc_id, i - 1 AS pos,
-             md5(array_to_string(t[i:i+{_SUBSTR_K - 1}], ' ')) AS gh
-      FROM toks0, UNNEST(generate_series(1, len(t) - {_SUBSTR_K - 1})) AS u(i)
-      WHERE len(t) >= {_SUBSTR_K}
-    ),
-    dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
-    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
-    isl AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                          + {_SUBSTR_K}
-                  THEN 1 ELSE 0 END AS brk
-      FROM hits
-    ),
-    grp AS (
-      SELECT doc_id, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
-      FROM isl
-    ),
-    spans AS (
-      SELECT doc_id, min(pos) AS span_start, max(pos) + {_SUBSTR_K} AS span_end
-      FROM grp GROUP BY doc_id, isl_id
-    ),
+    {_substr_spans_sql()},
     words AS (
       SELECT doc_id, i - 1 AS pos, t[i] AS w
       FROM toks0, UNNEST(generate_series(1, len(t))) AS u(i)
@@ -2006,15 +2010,19 @@ DEFAULT_MIXTURE_BP = 7_500
 
 # Knuth multiplicative hash — chosen over xxhash64/md5 because the SAME
 # arithmetic runs in any engine (the DuckDB oracle included): bucket =
-# (doc_id * 2654435761) mod 2^32 mod 10000.  Uniform enough for rate
-# sampling; crucially REPRODUCIBLE — re-running the pipeline (or running it
-# in a different engine) keeps or drops exactly the same documents, which is
-# what makes sampled corpora auditable.
+# ((doc_id mod 2^31) * 2654435761) mod 2^32 mod 10000.  The 31-bit mask
+# keeps the product inside int64 at any doc_id (unmasked, ids past ~3.47e9
+# overflow — silent wrap under non-ANSI Spark, an ERROR in DuckDB).
+# Uniform enough for rate sampling; crucially REPRODUCIBLE — re-running the
+# pipeline (or running it in a different engine) keeps or drops exactly the
+# same documents, which is what makes sampled corpora auditable.
 _KNUTH = 2654435761
 
 
 def _sample_bucket(doc_id_col):
-    return (doc_id_col * F.lit(_KNUTH)) % F.lit(2**32) % F.lit(10_000)
+    return (
+        (doc_id_col % F.lit(2**31)) * F.lit(_KNUTH)
+    ) % F.lit(2**32) % F.lit(10_000)
 
 
 def sample_stratified(
@@ -2049,7 +2057,8 @@ def _mixture_case_sql(default_bp: int = DEFAULT_MIXTURE_BP) -> str:
            min(doc_id) AS min_kept_doc, max(doc_id) AS max_kept_doc
     FROM (
       SELECT doc_id, source FROM documents
-      WHERE (doc_id * {_KNUTH}) % 4294967296 % 10000 < ({_mixture_case_sql()})
+      WHERE ((doc_id % 2147483648) * {_KNUTH}) % 4294967296 % 10000
+            < ({_mixture_case_sql()})
     )
     GROUP BY source
     """,
@@ -2084,7 +2093,13 @@ def pack_sequences(
     Knuth multiplicative hash of doc_id (same no-rand() discipline as
     sample_stratified — a task retry on a 1000-executor run must not change
     which sequence a doc lands in), tokens are the BPE-ish pre-tokenizer
-    count of text_tokens_bpe.
+    count of text_tokens_bpe.  doc_id is masked to 31 bits BEFORE the
+    multiply so the product stays inside int64 at any id (unmasked,
+    doc_id > ~3.47e9 wraps silently under non-ANSI Spark and ERRORS in
+    DuckDB — an engine divergence); the bucket takes the hash's HIGH bits
+    (floor(ord·buckets/2³²)) because an odd multiplier mod 2^32 is a
+    BIJECTION on the low bits — ``ord % 16`` is literally ``doc_id % 16``,
+    which collapses strided/sharded id schemes into one bucket.
 
     Scale shape: one map projection (token count + hash — text is dropped
     before any exchange), one shuffle on bucket, one running-total window
@@ -2093,14 +2108,14 @@ def pack_sequences(
     good as any other, so bucket boundaries cost nothing but bound each
     window task's input to corpus/buckets.  Size buckets to the cluster's
     task slots at 10^12 docs; 16 matches this sandbox."""
-    ord_col = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(2**32)
+    ord_col = ((F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)) % F.lit(2**32)
     slim = docs.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias(
             "n_tokens"
         ),
         ord_col.alias("ord"),
-        (ord_col % F.lit(buckets)).cast("int").alias("bucket"),
+        F.floor(ord_col * buckets / F.lit(2**32)).cast("int").alias("bucket"),
     )
     w = (
         Window.partitionBy("bucket")
@@ -2108,10 +2123,12 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # seq_id is LONG: per-bucket cumulative tokens at the 10^12-doc design
+    # point exceed int32 × seq_len; start_offset < seq_len stays int.
     return slim.select(
         "doc_id",
         "bucket",
-        F.floor(cum / seq_len).cast("int").alias("seq_id"),
+        F.floor(cum / seq_len).cast("long").alias("seq_id"),
         (cum % seq_len).cast("int").alias("start_offset"),
         "n_tokens",
     )
@@ -2127,9 +2144,9 @@ def pack_sequences(
       SELECT doc_id,
              len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))
                AS n_tokens,
-             (doc_id * {_KNUTH}) % 4294967296 AS ord,
-             CAST((doc_id * {_KNUTH}) % 4294967296 % {PACK_BUCKETS} AS INT)
-               AS bucket
+             ((doc_id % 2147483648) * {_KNUTH}) % 4294967296 AS ord,
+             CAST(floor((((doc_id % 2147483648) * {_KNUTH}) % 4294967296)
+                        * {PACK_BUCKETS} / 4294967296) AS INT) AS bucket
       FROM documents
     ),
     packed AS (
@@ -2140,7 +2157,7 @@ def pack_sequences(
       FROM slim
     )
     SELECT doc_id, bucket,
-           CAST(floor(cum / {PACK_SEQ_LEN}) AS INT) AS seq_id,
+           CAST(floor(cum / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
            CAST(cum % {PACK_SEQ_LEN} AS INT) AS start_offset,
            CAST(n_tokens AS INT) AS n_tokens
     FROM packed

@@ -475,3 +475,29 @@ def test_pack_sequences_invariants(spark):
     assert again == {
         (r["doc_id"], r["bucket"], r["seq_id"], r["start_offset"]) for r in rows
     }
+
+
+def test_pack_sequences_buckets_survive_strided_ids(spark):
+    """Sharded ingestion commonly assigns doc_id = seq * shards + shard, so
+    every id shares its low bits — the case where a low-bits bucket
+    (ord % buckets ≡ doc_id % buckets for an odd multiplier) collapses the
+    whole corpus into ONE bucket and the per-bucket window degenerates to
+    the global single-partition sort the design exists to avoid.  The
+    high-bits bucket must spread a pure stride across all buckets, and ids
+    past the unmasked int64-overflow point (~3.47e9) must not go negative."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    buckets = 16
+    ids = [i * buckets for i in range(2000)] + [6_143_999_999, 2**31, 2**33]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "text": ["a b c"] * len(ids)})
+    )
+    packed = trainops.pack_sequences(docs, seq_len=64, buckets=buckets)
+    per_bucket = {
+        r["bucket"]: r["n"]
+        for r in packed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(0 <= b < buckets for b in per_bucket), per_bucket
+    assert len(per_bucket) == buckets, per_bucket
+    assert max(per_bucket.values()) < len(ids) / buckets * 1.5, per_bucket
