@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.pipeline import run_extraction
-from engine.relational import PRIORITY_FLAGSHIP, _q, load
+from engine.relational import PRIORITY_FLAGSHIP, _local_q, _q, load
 from engine.schema import MEDIA_BLOBS_SCHEMA
 from pyspark.sql.types import BinaryType
 
@@ -507,6 +507,56 @@ def x_audit_media_pixels(spark, sf_dir):
         F.array_join("mistakes", ",").alias("mistakes_csv"),
         "score",
     )
+
+
+_MEDIA_DEDUP_CLASSES = 50
+
+
+def _media_dedup_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blobs table with deliberate cross-document payload recurrence: doc N
+    carries the REAL rendered page of class N % 50, so every class's exact
+    bytes recur in ~|docs|/50 documents — the synthesize-the-signal idiom
+    (same as _augmented / the %4 tampering cycle): the Spark side must
+    recover the classes from payload BYTES alone, the oracle restates the
+    expected grouping from the doc_id cycle arithmetically."""
+    d = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-media-"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        (F.col("doc_id") % _MEDIA_DEDUP_CLASSES).alias("cls"),
+    )
+    return d.select(
+        "media_ref", _page_payload(F.col("cls")).alias("payload")
+    )
+
+
+@_local_q(
+    "dedup_media_exact",
+    "training-data dedup — cross-doc EXACT media dedup over the interleaved "
+    "corpus's blobs side: payloads hashed at the scan (bytes never "
+    "shuffle), refs sharing bytes grouped; recurring logos/stamps flagged "
+    "as media boilerplate with a canonical surviving ref",
+    f"""
+    WITH refs AS (
+      SELECT 'doc-media-' || CAST(doc_id AS VARCHAR) AS media_ref,
+             doc_id % {_MEDIA_DEDUP_CLASSES} AS cls
+      FROM documents
+    ),
+    grp AS (
+      SELECT cls, count(*) AS n_refs, min(media_ref) AS canonical_ref
+      FROM refs GROUP BY cls
+    )
+    SELECT r.media_ref,
+           CAST(g.n_refs AS BIGINT) AS n_refs,
+           g.canonical_ref,
+           g.n_refs >= 3 AS is_boilerplate
+    FROM refs r JOIN grp g USING (cls)
+    """,
+)
+def dedup_media_exact(spark, sf_dir):
+    from engine.trainops import media_dedup_exact
+
+    return media_dedup_exact(_media_dedup_blobs(spark, sf_dir))
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

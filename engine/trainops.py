@@ -863,6 +863,47 @@ def dedup_substring_scrub(spark, sf_dir):
     return scrub_duplicated_spans(_augmented(spark, sf_dir))
 
 
+# --- cross-document media dedup (the media half of the interleaved corpus) ---
+
+
+def media_dedup_exact(blobs: DataFrame, min_refs: int = 3) -> DataFrame:
+    """Cross-document EXACT media dedup — the media analogue of the text
+    boilerplate filter: a payload (logo, stamp, letterhead, shared
+    attachment) referenced verbatim from many documents is media
+    boilerplate, exactly as a text span recurring across docs is text
+    boilerplate (reference analogue: the boilerplate strip the routing
+    layer applies to text, app/core/document/content_filters.py — the
+    reference has no media-side equivalent; a 10^12-doc interleaved corpus
+    needs one).
+
+    Input: the blobs side of the interleaved corpus (media_ref, payload).
+    Output per blob row: (media_ref, n_refs, canonical_ref,
+    is_boilerplate) — n_refs = how many refs share these exact bytes,
+    canonical_ref = the group's minimum ref (the copy a consumer keeps;
+    train on one logo, not 10^8 of them), is_boilerplate = n_refs ≥
+    ``min_refs``.  A curation pipeline semi-joins spans' media_ref against
+    the boilerplate set to drop them, or rewrites media_ref →
+    canonical_ref to share storage.
+
+    Scale shape: payload bytes are hashed AT THE SCAN and dropped before
+    any exchange — only (ref, 16-byte fp) rows shuffle.  One fp groupBy
+    (map-side partial) + one fp equi-join back, both co-partitioned on fp;
+    no skew concern because a hot fp (one logo in 10^8 docs) fans out to
+    exactly its own group row.  count(*) not count_distinct: blobs carry
+    one row per ref by contract (io hygiene dedupes upstream)."""
+    fps = blobs.select("media_ref", F.md5(F.col("payload")).alias("fp"))
+    groups = fps.groupBy("fp").agg(
+        F.count("*").alias("n_refs"),
+        F.min("media_ref").alias("canonical_ref"),
+    )
+    return fps.join(groups, "fp").select(
+        "media_ref",
+        "n_refs",
+        "canonical_ref",
+        (F.col("n_refs") >= F.lit(min_refs)).alias("is_boilerplate"),
+    )
+
+
 _BPE_RE = r"'(?:s|t|re|ve|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 

@@ -501,3 +501,74 @@ def test_pack_sequences_buckets_survive_strided_ids(spark):
     assert all(0 <= b < buckets for b in per_bucket), per_bucket
     assert len(per_bucket) == buckets, per_bucket
     assert max(per_bucket.values()) < len(ids) / buckets * 1.5, per_bucket
+
+
+def test_media_dedup_exact_groups_by_bytes(spark):
+    """Hand-built blobs: refs sharing exact bytes group together, byte-level
+    differences split groups, n_refs/canonical/boilerplate all follow."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    rows = [
+        ("r1", b"\x01logo"),
+        ("r2", b"\x01logo"),
+        ("r3", b"\x01logo"),
+        ("r4", b"\x02stamp"),
+        ("r5", b"\x02stamp"),
+        ("r6", b"\x03unique"),
+        ("r7", b"\x01logo "),  # trailing byte -> different content
+    ]
+    schema = StructType(
+        [
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    blobs = spark.createDataFrame(rows, schema)
+    out = {
+        r["media_ref"]: r.asDict()
+        for r in trainops.media_dedup_exact(blobs, min_refs=3).collect()
+    }
+    assert len(out) == 7
+    for r in ("r1", "r2", "r3"):
+        assert out[r]["n_refs"] == 3
+        assert out[r]["canonical_ref"] == "r1"
+        assert out[r]["is_boilerplate"] is True
+    for r in ("r4", "r5"):
+        assert out[r]["n_refs"] == 2
+        assert out[r]["canonical_ref"] == "r4"
+        assert out[r]["is_boilerplate"] is False
+    for r in ("r6", "r7"):
+        assert out[r]["n_refs"] == 1
+        assert out[r]["canonical_ref"] == r
+        assert out[r]["is_boilerplate"] is False
+
+
+def test_media_dedup_payload_never_shuffles(spark, tmp_path):
+    """The fp projection must sit at the scan: no Exchange in the executed
+    plan may carry the payload column — at 100 TB the blobs table IS the
+    corpus, and shuffling bytes instead of 16-byte hashes is the difference
+    between a linear pass and moving the corpus twice."""
+    import re
+
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    blobs = spark.createDataFrame(
+        [(f"r{i}", bytes([i % 5]) * 64) for i in range(100)], schema
+    )
+    blobs.write.mode("overwrite").parquet(str(tmp_path / "blobs"))
+    df = trainops.media_dedup_exact(spark.read.parquet(str(tmp_path / "blobs")))
+    df.count()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # formatted mode prints one block per node with Input/Output lists
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if block.startswith("Exchange"):
+            assert "payload" not in block, block
