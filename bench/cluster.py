@@ -142,6 +142,7 @@ def run_level(
     arrow_batch: int | None = None,
     warm_corpus: str | None = None,
     job: str = "extraction",
+    timeout_s: int = 1800,
 ) -> dict:
     """One fresh cluster at n_execs workers; submit run_scale.py; JSON out."""
     cluster = Cluster(n_execs, cpe, work_root)
@@ -173,7 +174,8 @@ def run_level(
         env["SPARK_GRAFT_MASTER"] = cluster.master_url
         env.pop("SPARK_GRAFT_CPUS", None)
         out = subprocess.run(
-            cmd, capture_output=True, text=True, cwd=str(REPO), env=env, timeout=1800
+            cmd, capture_output=True, text=True, cwd=str(REPO), env=env,
+            timeout=timeout_s,
         )
         if out.returncode != 0:
             raise RuntimeError(
@@ -259,6 +261,7 @@ def main() -> None:
         arrow_batch: int | None = None,
         job: str = "extraction",
         warm: str | None = None,
+        timeout_s: int = 1800,
     ) -> tuple[dict, dict]:
         if warm is None:
             warm = str(wbdir) if arrow_batch else str(wdir)
@@ -269,7 +272,7 @@ def main() -> None:
                     execs, cpe, corpus, pyfiles,
                     work_root=f"/tmp/spark-cluster-{execs}x{cpe}",
                     driver_cores=driver_cores, runs=1, arrow_batch=arrow_batch,
-                    warm_corpus=warm, job=job,
+                    warm_corpus=warm, job=job, timeout_s=timeout_s,
                 )
                 print(f"round {r}: {execs} exec × {cpe}c → {rec['docs_per_sec']} docs/s",
                       file=sys.stderr)
@@ -299,7 +302,13 @@ def main() -> None:
         from curation_scale import SRC_SF, build_corpus
 
         cur_dir = build_corpus(args.curation_replicas)
-        clo, chi = interleaved(cur_dir, job="curation", warm=SRC_SF)
+        # the 1-exec level walls ~0.5 s per replica (759 s at 1536r):
+        # scale the per-level backstop with corpus size instead of the
+        # 1800 s default, which killed the first 6144r attempt mid-level
+        clo, chi = interleaved(
+            cur_dir, job="curation", warm=SRC_SF,
+            timeout_s=max(1800, args.curation_replicas * 2),
+        )
         ceff = chi["docs_per_sec"] / (4 * clo["docs_per_sec"])
         # gate judged AFTER normalization when --ceiling provides the
         # matched gram-shaped control (see below): the raw curation ratio
