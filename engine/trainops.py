@@ -2208,6 +2208,106 @@ def text_pack_sequences(spark, sf_dir):
     return pack_sequences(load(spark, sf_dir, "documents"))
 
 
+def pack_manifest(
+    docs: DataFrame, seq_len: int = PACK_SEQ_LEN, buckets: int = PACK_BUCKETS
+) -> DataFrame:
+    """The consumable half of packing: invert pack_sequences' per-DOC rows
+    into the per-SEQUENCE composition a dataloader reads — for every
+    training sequence, which doc slices fill it and where.
+
+    One row per (sequence, doc) intersection: (bucket, seq_id, doc_id,
+    seq_offset, doc_tok_start, doc_tok_end) — doc tokens
+    [doc_tok_start, doc_tok_end) land at seq_offset inside the sequence.
+    A doc longer than its sequence remainder spills across rows (document
+    splitting); gathering a (bucket, seq_id) group ordered by seq_offset
+    yields one exactly-tiled seq_len sequence (the bucket's last sequence
+    may be a short tail — the only one a trainer pads or drops).
+
+    Scale shape: pack_sequences' plan plus one explode — each doc fans out
+    to 1 + floor((start_offset + n_tokens - 1) / seq_len) - seq_id rows
+    (≈ n_tokens/seq_len), so the manifest is ~corpus_tokens/seq_len rows:
+    LINEAR, no new exchange, no join.  Zero-token docs occupy no sequence
+    and are filtered before the explode (also keeps F.sequence() away from
+    the end < start case, where Spark generates a DESCENDING range rather
+    than an empty one)."""
+    p = pack_sequences(docs, seq_len, buckets).filter(F.col("n_tokens") > 0)
+    pos_start = F.col("seq_id") * seq_len + F.col("start_offset")
+    rows = p.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        pos_start.alias("ps"),
+        F.explode(
+            F.sequence(
+                F.col("seq_id"),
+                F.floor((pos_start + F.col("n_tokens") - 1) / seq_len),
+            )
+        ).alias("seq_id"),
+    )
+    seq_base = F.col("seq_id") * seq_len
+    return rows.select(
+        "bucket",
+        "seq_id",
+        "doc_id",
+        F.greatest(F.lit(0), seq_base - F.col("ps"))
+        .cast("int")
+        .alias("doc_tok_start"),
+        F.least(F.col("n_tokens"), seq_base + seq_len - F.col("ps"))
+        .cast("int")
+        .alias("doc_tok_end"),
+        F.greatest(F.lit(0), F.col("ps") - seq_base)
+        .cast("int")
+        .alias("seq_offset"),
+    )
+
+
+@_local_q(
+    "text_pack_manifest",
+    "training-batch assembly — per-sequence manifest: pack_sequences "
+    "inverted into (sequence → doc slices), documents splitting across "
+    "sequence boundaries, one explode over the packed rows",
+    f"""
+    WITH slim AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))
+               AS n_tokens,
+             ((doc_id % 2147483648) * {_KNUTH}) % 4294967296 AS ord,
+             CAST(floor((((doc_id % 2147483648) * {_KNUTH}) % 4294967296)
+                        * {PACK_BUCKETS} / 4294967296) AS INT) AS bucket
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM slim
+      WHERE n_tokens > 0
+    ),
+    spans AS (
+      SELECT doc_id, bucket, n_tokens, cum AS ps,
+             unnest(generate_series(
+               CAST(cum // {PACK_SEQ_LEN} AS BIGINT),
+               CAST((cum + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT)
+             )) AS seq_id
+      FROM packed
+    )
+    SELECT bucket,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           doc_id,
+           CAST(greatest(0, seq_id * {PACK_SEQ_LEN} - ps) AS INT)
+             AS doc_tok_start,
+           CAST(least(n_tokens, (seq_id + 1) * {PACK_SEQ_LEN} - ps) AS INT)
+             AS doc_tok_end,
+           CAST(greatest(0, ps - seq_id * {PACK_SEQ_LEN}) AS INT)
+             AS seq_offset
+    FROM spans
+    """,
+)
+def text_pack_manifest(spark, sf_dir):
+    return pack_manifest(load(spark, sf_dir, "documents"))
+
+
 # =========================================================================
 # Incremental dedup — nightly-delta state carry (reference has no analogue;
 # this is the training-data-pipeline op a 10^12-doc corpus actually runs:

@@ -572,3 +572,45 @@ def test_media_dedup_payload_never_shuffles(spark, tmp_path):
     for block in re.split(r"\n\(\d+\) ", plan):
         if block.startswith("Exchange"):
             assert "payload" not in block, block
+
+
+def test_pack_manifest_tiles_sequences_exactly(spark):
+    """Manifest slices must tile: per (bucket, seq_id) the slices cover
+    [0, seq_len) gaplessly (except each bucket's tail sequence), and per doc
+    the slices concatenate to exactly [0, n_tokens) in sequence order."""
+    from engine.relational import load
+
+    docs = load(spark, SF_DIR, "documents")
+    seq_len = 512
+    packed = {
+        r["doc_id"]: r.asDict()
+        for r in trainops.pack_sequences(docs, seq_len=seq_len, buckets=4).collect()
+    }
+    rows = trainops.pack_manifest(docs, seq_len=seq_len, buckets=4).collect()
+
+    by_seq, by_doc = {}, {}
+    for r in rows:
+        by_seq.setdefault((r["bucket"], r["seq_id"]), []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    for (bucket, seq_id), rs in by_seq.items():
+        rs.sort(key=lambda r: r["seq_offset"])
+        cursor = 0
+        for r in rs:
+            assert r["seq_offset"] == cursor, (bucket, seq_id, r)
+            cursor += r["doc_tok_end"] - r["doc_tok_start"]
+        last = max(s for b, s in by_seq if b == bucket)
+        if seq_id < last:
+            assert cursor == seq_len, (bucket, seq_id, cursor)
+        else:
+            assert 0 < cursor <= seq_len
+
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: (r["seq_id"], r["seq_offset"]))
+        cursor = 0
+        for r in rs:
+            assert r["doc_tok_start"] == cursor, (doc_id, r)
+            cursor = r["doc_tok_end"]
+        assert cursor == packed[doc_id]["n_tokens"]
+    # every packed doc with tokens appears; zero-token docs do not
+    assert set(by_doc) == {d for d, p in packed.items() if p["n_tokens"] > 0}
