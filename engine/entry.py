@@ -559,6 +559,78 @@ def dedup_media_exact(spark, sf_dir):
     return media_dedup_exact(_media_dedup_blobs(spark, sf_dir))
 
 
+_NEARDUP_CLASSES = 25
+
+
+@F.pandas_udf(BinaryType())
+def _neardup_payload(doc_id: pd.Series) -> pd.Series:
+    """Rendered page of class doc_id % 25, re-'scanned' per doc: fresh
+    deterministic speckle (noise_seed = doc_id, so every copy is
+    byte-distinct) and, for idcard classes, a per-variant rotation.  The
+    exact front must see all singletons; the feature front must recover the
+    25 classes from the detector outputs alone."""
+    from engine.bitmap import encode_bitmap_page
+
+    def mk(i: int) -> bytes:
+        i = int(i)
+        spec = flagship_spec(i % _NEARDUP_CLASSES)
+        variant = (i // _NEARDUP_CLASSES) % 4
+        spec["noise_px"] = 40 + 30 * variant
+        spec["noise_seed"] = i
+        if spec.get("page_kind") == "idcard":
+            spec["rotation"] = 90 * variant
+        return encode_bitmap_page(spec)
+
+    return doc_id.map(mk)
+
+
+def _media_neardup_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-media-"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.col("doc_id").alias("doc_num"),
+    )
+    return d.select(
+        "media_ref", _neardup_payload(F.col("doc_num")).alias("payload")
+    )
+
+
+@_local_q(
+    "dedup_media_features",
+    "training-data dedup — NEAR-dup media dedup: byte-distinct re-scans "
+    "(fresh speckle, rotated passes) of the same page grouped by a "
+    "signature of the REAL detector outputs (route, regions, extracted "
+    "text, QR presence) — rotation/noise invariant where payload md5 is "
+    "not; oracle restates the class cycle arithmetically, folding the "
+    "three blank-kind classes (7/15/23: FLAGSHIP_KINDS[c%8]=='blank') into "
+    "one — content-identical pages merge even across class arithmetic, "
+    "which is exactly the behavior a content-level dedup should have",
+    f"""
+    WITH refs AS (
+      SELECT 'doc-media-' || CAST(doc_id AS VARCHAR) AS media_ref,
+             CASE WHEN (doc_id % {_NEARDUP_CLASSES}) % 8 = 7 THEN 7
+                  ELSE doc_id % {_NEARDUP_CLASSES} END AS cls
+      FROM documents
+    ),
+    grp AS (
+      SELECT cls, count(*) AS n_refs, min(media_ref) AS canonical_ref
+      FROM refs GROUP BY cls
+    )
+    SELECT r.media_ref,
+           CAST(g.n_refs AS BIGINT) AS n_refs,
+           g.canonical_ref,
+           g.n_refs >= 3 AS is_boilerplate
+    FROM refs r JOIN grp g USING (cls)
+    """,
+)
+def dedup_media_features(spark, sf_dir):
+    from engine.layout import decode_blobs
+    from engine.trainops import media_dedup_features
+
+    return media_dedup_features(decode_blobs(_media_neardup_blobs(spark, sf_dir)))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Full pipeline over the interleaved corpus; returns exploded spans_out."""
     spans, blobs = interleaved_corpus(spark, sf_dir)

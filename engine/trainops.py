@@ -892,6 +892,12 @@ def media_dedup_exact(blobs: DataFrame, min_refs: int = 3) -> DataFrame:
     exactly its own group row.  count(*) not count_distinct: blobs carry
     one row per ref by contract (io hygiene dedupes upstream)."""
     fps = blobs.select("media_ref", F.md5(F.col("payload")).alias("fp"))
+    return _dedup_refs_by_fp(fps, min_refs)
+
+
+def _dedup_refs_by_fp(fps: DataFrame, min_refs: int) -> DataFrame:
+    """(media_ref, fp) → per-ref group stats; shared by the exact (payload
+    md5) and near-dup (feature signature) media dedup fronts."""
     groups = fps.groupBy("fp").agg(
         F.count("*").alias("n_refs"),
         F.min("media_ref").alias("canonical_ref"),
@@ -902,6 +908,45 @@ def media_dedup_exact(blobs: DataFrame, min_refs: int = 3) -> DataFrame:
         "canonical_ref",
         (F.col("n_refs") >= F.lit(min_refs)).alias("is_boilerplate"),
     )
+
+
+def media_dedup_features(blob_feats: DataFrame, min_refs: int = 3) -> DataFrame:
+    """Cross-document NEAR-dup media dedup: the same page re-scanned (fresh
+    speckle noise, a rotated pass through the scanner) is byte-distinct —
+    ``media_dedup_exact`` correctly refuses to merge it — but it is the
+    same document, and a training corpus wants one copy.  Instead of
+    perceptual hashing the raw pixels, group by a signature of what the
+    REAL detector pipeline extracted: page_kind (projection-profile route),
+    region labels, title/body text, QR presence, boilerplate — all invariant
+    to speckle and rotation because the detectors are (QR-orient rights the
+    raster before region classification).  The media analogue of MinHash
+    over normalized text rather than raw bytes.
+
+    Input: decode_blobs(blobs) output (media_ref, feats PAGE_FEATURES).
+    Output: same shape as media_dedup_exact.  qr_rotation and conf are
+    deliberately OUTSIDE the signature (orientation is scan pose, not
+    content; conf is a score, not content); decode failures group by their
+    error string so corrupt payloads never merge with clean ones.
+
+    Scale shape: the signature is one row-local md5 over already-extracted
+    features — the expensive decode is the pipeline's existing scan-side
+    pass, reused; then the same fp groupBy + equi-join as the exact front.
+    Feature rows are tiny (no raster), so the exchanges stay payload-free."""
+    rs = "\x1e"
+    sig = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col("feats.page_kind"), F.lit("")),
+            F.array_join(F.coalesce(F.col("feats.labels"), F.array()), rs),
+            F.coalesce(F.col("feats.title_text"), F.lit("")),
+            F.array_join(F.coalesce(F.col("feats.body_lines"), F.array()), rs),
+            F.coalesce(F.col("feats.has_qr"), F.lit(False)).cast("string"),
+            F.array_join(F.coalesce(F.col("feats.boilerplate"), F.array()), rs),
+            F.coalesce(F.col("feats.decode_error"), F.lit("")),
+        )
+    )
+    fps = blob_feats.select("media_ref", sig.alias("fp"))
+    return _dedup_refs_by_fp(fps, min_refs)
 
 
 _BPE_RE = r"'(?:s|t|re|ve|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -614,3 +614,71 @@ def test_pack_manifest_tiles_sequences_exactly(spark):
         assert cursor == packed[doc_id]["n_tokens"]
     # every packed doc with tokens appears; zero-token docs do not
     assert set(by_doc) == {d for d, p in packed.items() if p["n_tokens"] > 0}
+
+
+def test_media_dedup_features_merges_rescans_exact_does_not(spark):
+    """Near-dup contrast test on REAL rendered pages: the same page
+    re-'scanned' three times (fresh speckle seed each pass, one rotated
+    idcard pass) is byte-distinct — the exact front must keep every ref a
+    singleton — while the feature front (signature over detector outputs,
+    which are speckle/rotation invariant) must merge each page's re-scans
+    into one group and keep pages with different CONTENT apart."""
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from engine.bitmap import encode_bitmap_page
+    from engine.layout import decode_blobs
+
+    def scan(spec, seed, noise=60, rotation=None):
+        s = dict(spec)
+        s["noise_px"] = noise
+        s["noise_seed"] = seed
+        if rotation is not None:
+            s["rotation"] = rotation
+        return encode_bitmap_page(s)
+
+    invoice = {
+        "page_kind": "janzour",
+        "title_text": "كشف تفاصيل الخدمات",
+        "body_lines": ["Service code BIO0042", "رقم الفاتورة: INV-00042"],
+    }
+    invoice_b = {**invoice, "body_lines": ["Service code BIO0043", "رقم الفاتورة: INV-00043"]}
+    idcard = {
+        "page_kind": "idcard",
+        "body_lines": ["اسم المستفيد: مستفيد رقم 7", "ACA-0007-00080-X1Z"],
+    }
+    rows = [
+        ("inv-a1", scan(invoice, seed=1)),
+        ("inv-a2", scan(invoice, seed=2, noise=110)),
+        ("inv-a3", scan(invoice, seed=3, noise=40)),
+        ("inv-b1", scan(invoice_b, seed=4)),  # different content, same kind
+        ("id-r0", scan(idcard, seed=5, rotation=0)),
+        ("id-r90", scan(idcard, seed=6, rotation=90)),
+        ("id-r270", scan(idcard, seed=7, rotation=270)),
+    ]
+    schema = StructType(
+        [
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    blobs = spark.createDataFrame(rows, schema)
+
+    exact = {
+        r["media_ref"]: r.asDict()
+        for r in trainops.media_dedup_exact(blobs, min_refs=3).collect()
+    }
+    assert all(v["n_refs"] == 1 for v in exact.values()), exact
+
+    feats = {
+        r["media_ref"]: r.asDict()
+        for r in trainops.media_dedup_features(decode_blobs(blobs), min_refs=3).collect()
+    }
+    assert len(feats) == 7
+    for r in ("inv-a1", "inv-a2", "inv-a3"):
+        assert feats[r]["n_refs"] == 3, feats[r]
+        assert feats[r]["canonical_ref"] == "inv-a1"
+        assert feats[r]["is_boilerplate"] is True
+    assert feats["inv-b1"]["n_refs"] == 1, feats["inv-b1"]
+    for r in ("id-r0", "id-r90", "id-r270"):
+        assert feats[r]["n_refs"] == 3, feats[r]
+        assert feats[r]["canonical_ref"] == "id-r0"
