@@ -631,6 +631,99 @@ def dedup_media_features(spark, sf_dir):
     return media_dedup_features(decode_blobs(_media_neardup_blobs(spark, sf_dir)))
 
 
+@F.pandas_udf(BinaryType())
+def _strip_corpus_payload(doc_id: pd.Series) -> pd.Series:
+    """Near-dup corpus with MIXED group sizes so the strip has both verdicts
+    to act on: classes with residue 4 mod 5 are PAIRED — (doc, doc+25) share
+    a 'pair sheet' body, so their feature group has n_refs=2 < min_refs and
+    survives with a canonical rewrite — all other classes recur corpus-wide
+    (n_refs >= min_refs, boilerplate, dropped).  Every copy stays
+    byte-distinct (per-doc speckle seed, rotated idcard passes)."""
+    from engine.bitmap import encode_bitmap_page
+
+    def mk(i: int) -> bytes:
+        i = int(i)
+        c = i % _NEARDUP_CLASSES
+        k = i // _NEARDUP_CLASSES
+        spec = flagship_spec(c)
+        spec["noise_px"] = 40 + 30 * (k % 4)
+        spec["noise_seed"] = i
+        if c % 5 == 4:
+            pair = i - _NEARDUP_CLASSES * (k % 2)
+            spec["body_lines"] = [f"pair sheet {pair}", "shared second line"]
+            if spec.get("page_kind") == "idcard":
+                spec["rotation"] = 90 * (i % 4)
+        elif spec.get("page_kind") == "idcard":
+            spec["rotation"] = 90 * (k % 4)
+        return encode_bitmap_page(spec)
+
+    return doc_id.map(mk)
+
+
+@_local_q(
+    "dedup_media_strip",
+    "training-data curation — media boilerplate STRIP over exploded "
+    "interleaved spans, the consumer of the media near-dup verdicts: media "
+    "spans in boilerplate groups dropped, survivors' media_ref rewritten to "
+    "the group canonical (pairs of byte-distinct re-scans collapse to one "
+    "blob key), text spans pass through; oracle restates the class/pair "
+    "cycle and the text-span layout arithmetically",
+    f"""
+    WITH refs AS (
+      SELECT doc_id AS i,
+             'doc-media-' || CAST(doc_id AS VARCHAR) AS media_ref,
+             CASE
+               WHEN (doc_id % {_NEARDUP_CLASSES}) % 5 = 4 THEN
+                 'p' || CAST(doc_id - {_NEARDUP_CLASSES}
+                             * ((doc_id // {_NEARDUP_CLASSES}) % 2) AS VARCHAR)
+               WHEN (doc_id % {_NEARDUP_CLASSES}) % 8 = 7 THEN 'c7'
+               ELSE 'c' || CAST(doc_id % {_NEARDUP_CLASSES} AS VARCHAR)
+             END AS grp
+      FROM documents
+    ),
+    g AS (
+      SELECT grp, count(*) AS n, min(media_ref) AS canonical
+      FROM refs GROUP BY grp
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, t.off AS offset,
+           'text' AS kind, CAST(NULL AS VARCHAR) AS media_ref
+    FROM documents, (VALUES (0),(1),(2)) AS t(off)
+    UNION ALL
+    SELECT CAST(r.i AS VARCHAR) AS doc_id, 3 AS offset,
+           'media' AS kind, g.canonical AS media_ref
+    FROM refs r JOIN g USING (grp)
+    WHERE g.n < 3
+    """,
+)
+def dedup_media_strip(spark, sf_dir):
+    from engine.layout import decode_blobs
+    from engine.trainops import media_dedup_features, strip_media_boilerplate
+
+    text = (
+        _text_spans(spark, sf_dir)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+    )
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").alias("doc_num"),
+        F.concat(F.lit("doc-media-"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+    )
+    media = d.select(
+        "doc_id",
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        "media_ref",
+        F.lit(3).cast("int").alias("offset"),
+    )
+    blobs = d.select("media_ref", _strip_corpus_payload(F.col("doc_num")).alias("payload"))
+    groups = media_dedup_features(decode_blobs(blobs))
+    out = strip_media_boilerplate(text.unionByName(media), groups)
+    return out.select("doc_id", "offset", "kind", "media_ref")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Full pipeline over the interleaved corpus; returns exploded spans_out."""
     spans, blobs = interleaved_corpus(spark, sf_dir)

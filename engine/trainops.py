@@ -949,6 +949,42 @@ def media_dedup_features(blob_feats: DataFrame, min_refs: int = 3) -> DataFrame:
     return _dedup_refs_by_fp(fps, min_refs)
 
 
+def strip_media_boilerplate(spans: DataFrame, groups: DataFrame) -> DataFrame:
+    """Consume a media-dedup verdict frame (``media_dedup_exact`` /
+    ``media_dedup_features`` output) against EXPLODED interleaved spans
+    (doc_id, kind, text, media_ref, offset): media spans whose group is
+    boilerplate (a recurring logo/stamp/blank page — layout, not content)
+    are DROPPED, surviving media spans have media_ref rewritten to the
+    group's canonical ref so downstream storage and exact-dedup passes
+    share one blob per content class; text spans pass through untouched.
+    The media analogue of the text branch's dropped_boilerplate strip, as
+    a corpus-curation step rather than a per-doc one.
+
+    Scale shape: one equi-join on media_ref between the media-span slice
+    and the per-ref verdict frame (both carry no payload bytes and no span
+    text on the media side), then a union with the text slice — no window,
+    no re-nest; reassembly stays A2's job.  The join key is the blob key,
+    so with both tables Iceberg-bucketed by media_ref (PLANS.md §5) the
+    exchange is storage-local."""
+    media = spans.filter(F.col("kind") == "media")
+    text = spans.filter(F.col("kind") != "media")
+    joined = media.join(
+        groups.select("media_ref", "canonical_ref", "is_boilerplate"),
+        "media_ref",
+        "left",
+    )
+    kept = joined.filter(~F.coalesce(F.col("is_boilerplate"), F.lit(False))).select(
+        "doc_id",
+        "kind",
+        "text",
+        F.coalesce(F.col("canonical_ref"), F.col("media_ref")).alias("media_ref"),
+        "offset",
+    )
+    return text.select("doc_id", "kind", "text", "media_ref", "offset").unionByName(
+        kept
+    )
+
+
 _BPE_RE = r"'(?:s|t|re|ve|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 

@@ -682,3 +682,59 @@ def test_media_dedup_features_merges_rescans_exact_does_not(spark):
     for r in ("id-r0", "id-r90", "id-r270"):
         assert feats[r]["n_refs"] == 3, feats[r]
         assert feats[r]["canonical_ref"] == "id-r0"
+
+
+def test_strip_media_boilerplate_drops_rewrites_passes_through(spark):
+    """Hand-built exploded spans + verdict frame: boilerplate-group media
+    spans dropped, surviving media spans canonicalized, media refs absent
+    from the verdict frame kept as-is, text spans untouched."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    span_schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("kind", StringType()),
+            StructField("text", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("offset", IntegerType()),
+        ]
+    )
+    spans = spark.createDataFrame(
+        [
+            ("d1", "text", "hello", None, 0),
+            ("d1", "media", None, "m-logo", 1),
+            ("d2", "media", None, "m-pair-b", 1),
+            ("d3", "media", None, "m-orphan", 1),
+        ],
+        span_schema,
+    )
+    group_schema = StructType(
+        [
+            StructField("media_ref", StringType()),
+            StructField("n_refs", LongType()),
+            StructField("canonical_ref", StringType()),
+            StructField("is_boilerplate", BooleanType()),
+        ]
+    )
+    groups = spark.createDataFrame(
+        [
+            ("m-logo", 5, "m-logo", True),
+            ("m-pair-b", 2, "m-pair-a", False),
+        ],
+        group_schema,
+    )
+    out = {
+        (r["doc_id"], r["offset"]): r.asDict()
+        for r in trainops.strip_media_boilerplate(spans, groups).collect()
+    }
+    assert set(out) == {("d1", 0), ("d2", 1), ("d3", 1)}
+    assert out[("d1", 0)]["kind"] == "text" and out[("d1", 0)]["text"] == "hello"
+    assert out[("d2", 1)]["media_ref"] == "m-pair-a"
+    assert out[("d3", 1)]["media_ref"] == "m-orphan"
