@@ -151,3 +151,40 @@ def decode_blobs(blobs):
         [StructField("media_ref", blobs.schema["media_ref"].dataType), StructField("feats", _PF)]
     )
     return blobs.select("media_ref", "payload").mapInArrow(gen, spark_schema)
+
+
+def decode_blobs_distinct(blobs):
+    """``decode_blobs`` variant that decodes each DISTINCT payload once.
+
+    Receipt corpora repeat media content corpus-wide (the same logo/stamp/
+    blank sheet behind thousands of refs — the signal media_dedup_exact
+    measures), and the default path decodes every blob ROW: at duplication
+    factor d that is d× the dominant cost.  Here payloads are md5'd at the
+    scan, one surviving copy per fingerprint is decoded, and the features
+    fan back out to refs through a (ref, fp) × (fp, feats) equi-join —
+    both sides payload-free and feature-rows tiny.
+
+    This is the one deliberate exception to the repo's payload-never-
+    shuffles invariant: the groupBy's map-side partial ``first`` emits at
+    most ONE payload copy per (fingerprint, input partition), so the
+    exchange carries ~distinct-payload bytes instead of corpus bytes —
+    decode work saved is d×, payload movement added is ~1/d of the corpus.
+    Use the default ``decode_blobs`` when duplication is known to be ~1
+    (e.g. already-canonicalized refs via strip_media_boilerplate); use this
+    when refs point at raw ingest.  Which payload copy survives ``first``
+    is arbitrary but the copies are byte-identical by construction (md5
+    grouping), so the result is deterministic modulo md5 collision.  Decode
+    failures are per-payload, so error features fan out to every ref of the
+    corrupt content — same X3 isolation as the row path."""
+    from pyspark.sql import functions as F
+
+    fps = blobs.select("media_ref", F.md5(F.col("payload")).alias("fp"))
+    survivors = (
+        blobs.select(F.md5(F.col("payload")).alias("fp"), "payload")
+        .groupBy("fp")
+        .agg(F.first("payload").alias("payload"))
+    )
+    feats = decode_blobs(survivors.withColumnRenamed("fp", "media_ref")).select(
+        F.col("media_ref").alias("fp"), "feats"
+    )
+    return fps.join(feats, "fp").select("media_ref", "feats")

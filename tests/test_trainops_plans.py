@@ -738,3 +738,39 @@ def test_strip_media_boilerplate_drops_rewrites_passes_through(spark):
     assert out[("d1", 0)]["kind"] == "text" and out[("d1", 0)]["text"] == "hello"
     assert out[("d2", 1)]["media_ref"] == "m-pair-a"
     assert out[("d3", 1)]["media_ref"] == "m-orphan"
+
+
+def test_decode_blobs_distinct_matches_row_path(spark):
+    """Differential: the decode-once-per-distinct-payload variant must be
+    ref-for-ref identical to the row path on a corpus with heavy payload
+    recurrence, a corrupt payload shared by two refs, and a unique page."""
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from engine.bitmap import encode_bitmap_page
+    from engine.layout import decode_blobs, decode_blobs_distinct
+
+    logo = encode_bitmap_page(
+        {"page_kind": "janzour", "title_text": "كشف تفاصيل الخدمات"}
+    )
+    unique = encode_bitmap_page(
+        {"page_kind": "massara", "body_lines": ["Service code BIO9999"]}
+    )
+    rows = [(f"logo-{i}", logo) for i in range(8)]
+    rows += [("uniq", unique), ("bad-1", b"\x00garbage"), ("bad-2", b"\x00garbage")]
+    schema = StructType(
+        [
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    blobs = spark.createDataFrame(rows, schema).repartition(4)
+
+    def snap(df):
+        return {r["media_ref"]: r["feats"].asDict() for r in df.collect()}
+
+    row_path = snap(decode_blobs(blobs))
+    distinct_path = snap(decode_blobs_distinct(blobs))
+    assert set(distinct_path) == {r for r, _ in rows}
+    assert distinct_path == row_path
+    assert distinct_path["bad-1"]["decode_error"] is not None
+    assert distinct_path["logo-3"]["title_text"] == "كشف تفاصيل الخدمات"
