@@ -215,8 +215,9 @@ FLAGSHIP_KINDS = [
 
 
 def flagship_spec(i: int) -> dict:
-    """Bitmap page spec for doc i — pure function, shared by the payload UDF
-    and nothing else (the oracle restates intent in SQL, not via this code)."""
+    """Bitmap page spec for doc i — pure function, shared by the flagship /
+    near-dup / strip payload UDFs and nothing else (the oracles restate
+    intent in SQL, not via this code)."""
     kind = FLAGSHIP_KINDS[i % 8]
     spec: dict = {"page_kind": kind, "conf": 0.5 + (i % 50) / 100.0}
     body = [
