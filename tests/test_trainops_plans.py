@@ -12,11 +12,13 @@ import os
 
 import pytest
 
-from engine import trainops
+from engine import entry, trainops
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
 
 _PAIRING_QUERIES = [
+    entry.dedup_media_features,
+    entry.dedup_media_strip,
     trainops.dedup_minhash_lsh,
     trainops.dedup_ngram_jaccard,
     trainops.dedup_simhash_hamming,
