@@ -337,8 +337,13 @@ def main() -> None:
 
         ceil = raw_cpu_ceiling(n * cpe, n4 * cpe)
         result["cpu_ceiling"] = ceil
+        # a control cannot legitimately out-scale perfect linearity: a
+        # reading > 1.0 means the control run itself caught a noise window
+        # (e.g. the low-core pass stalled), and dividing by it would
+        # PENALIZE a raw pass.  Clamp at 1.0 — normalization exists to
+        # excuse machine limits, never to raise the bar above raw.
         result["normalized"] = {
-            k: round(result[k] / ceil["efficiency"], 3)
+            k: round(result[k] / min(1.0, ceil["efficiency"]), 3)
             for k in (
                 "scaling_efficiency",
                 "bitmap_scaling_efficiency",
@@ -355,8 +360,11 @@ def main() -> None:
                 n * cpe, n4 * cpe, f"{SRC_SF}/documents.parquet"
             )
             result["gram_cpu_ceiling"] = gceil
+            # same clamp as above: a superlinear control is self-noise
             norm_ceff = round(
-                result["curation_scaling_efficiency"] / gceil["efficiency"], 3
+                result["curation_scaling_efficiency"]
+                / min(1.0, gceil["efficiency"]),
+                3,
             )
             result["normalized"]["curation_scaling_efficiency"] = norm_ceff
             # the gate judges the machine-normalized value (both raw and
