@@ -113,9 +113,11 @@ def _decode_one(raw: bytes | None) -> dict:
         }
 
 
-def decode_blobs(blobs):
+def decode_blobs(blobs, carry: tuple[str, ...] = ()):
     """blobs(media_ref, payload) → (media_ref, feats PAGE_FEATURES) via
-    mapInArrow: one python hop per batch, no pandas materialization."""
+    mapInArrow: one python hop per batch, no pandas materialization.
+    ``carry`` columns ride the Arrow batch through unchanged (zero-copy
+    column references, no join needed to reattach them)."""
     import pyarrow as pa
 
     feats_type = pa.struct(
@@ -132,15 +134,18 @@ def decode_blobs(blobs):
             pa.field("decode_error", pa.string()),
         ]
     )
-    out_schema = pa.schema([pa.field("media_ref", pa.string()), pa.field("feats", feats_type)])
-
     def gen(batches):
         for batch in batches:
             refs = batch.column(batch.schema.get_field_index("media_ref"))
             payloads = batch.column(batch.schema.get_field_index("payload"))
+            carried = [batch.column(batch.schema.get_field_index(c)) for c in carry]
+            out_schema = pa.schema(
+                [pa.field("media_ref", refs.type), pa.field("feats", feats_type)]
+                + [batch.schema.field(c) for c in carry]
+            )
             rows = [_decode_one(payloads[i].as_py()) for i in range(len(payloads))]
             yield pa.RecordBatch.from_arrays(
-                [refs, pa.array(rows, type=feats_type)], schema=out_schema
+                [refs, pa.array(rows, type=feats_type), *carried], schema=out_schema
             )
 
     from pyspark.sql.types import StructField, StructType
@@ -149,8 +154,9 @@ def decode_blobs(blobs):
 
     spark_schema = StructType(
         [StructField("media_ref", blobs.schema["media_ref"].dataType), StructField("feats", _PF)]
+        + [blobs.schema[c] for c in carry]
     )
-    return blobs.select("media_ref", "payload").mapInArrow(gen, spark_schema)
+    return blobs.select("media_ref", "payload", *carry).mapInArrow(gen, spark_schema)
 
 
 def decode_blobs_distinct(blobs):
@@ -165,26 +171,40 @@ def decode_blobs_distinct(blobs):
     both sides payload-free and feature-rows tiny.
 
     This is the one deliberate exception to the repo's payload-never-
-    shuffles invariant: the groupBy's map-side partial ``first`` emits at
-    most ONE payload copy per (fingerprint, input partition), so the
-    exchange carries ~distinct-payload bytes instead of corpus bytes —
-    decode work saved is d×, payload movement added is ~1/d of the corpus.
-    Use the default ``decode_blobs`` when duplication is known to be ~1
-    (e.g. already-canonicalized refs via strip_media_boilerplate); use this
-    when refs point at raw ingest.  Which payload copy survives ``first``
+    shuffles invariant.  Decode work always drops by the full duplication
+    factor d (the post-shuffle merge leaves one payload per fingerprint);
+    what the map-side partial ``first`` floors is the EXCHANGE: one payload
+    copy per (fingerprint, input partition), so shuffle bytes only shrink
+    once d exceeds the partition count.  Measured (interleaved A/B,
+    BENCH/ab_decode_r5.json; 24k refs × ~120 KB pages, 32 partitions):
+    **1.83× at d=400** (the corpus-wide-logo regime the op exists for),
+    1.20× at d=10 (decode savings already beat a nearly-full-corpus
+    shuffle at this page weight), **0.70× at d=1** (pure overhead — use
+    the row path).  At 10^12 docs recurring boilerplate media exceeds any
+    cluster's task count by orders of magnitude, i.e. deep in the win
+    regime; keep the default ``decode_blobs`` for unduplicated or
+    already-canonicalized refs (strip_media_boilerplate output).  Which payload copy survives ``first``
     is arbitrary but the copies are byte-identical by construction (md5
     grouping), so the result is deterministic modulo md5 collision.  Decode
     failures are per-payload, so error features fan out to every ref of the
-    corrupt content — same X3 isolation as the row path."""
+    corrupt content — same X3 isolation as the row path.
+
+    Shape (one scan, one shuffle, no join — the first cut scanned and
+    hashed the corpus twice and joined features back, and the interleaved
+    A/B read it SLOWER than the row path even at 10× duplication): the
+    groupBy carries the refs as a collect_list riding the same partial
+    aggregation, the grouped frame is decoded with ``refs`` passed through
+    the Arrow batch, and one explode fans features back out."""
     from pyspark.sql import functions as F
 
-    fps = blobs.select("media_ref", F.md5(F.col("payload")).alias("fp"))
-    survivors = (
-        blobs.select(F.md5(F.col("payload")).alias("fp"), "payload")
-        .groupBy("fp")
-        .agg(F.first("payload").alias("payload"))
+    grouped = (
+        blobs.groupBy(F.md5(F.col("payload")).alias("fp"))
+        .agg(
+            F.first("payload").alias("payload"),
+            F.collect_list("media_ref").alias("refs"),
+        )
+        .select(F.col("fp").alias("media_ref"), "payload", "refs")
     )
-    feats = decode_blobs(survivors.withColumnRenamed("fp", "media_ref")).select(
-        F.col("media_ref").alias("fp"), "feats"
+    return decode_blobs(grouped, carry=("refs",)).select(
+        F.explode("refs").alias("media_ref"), "feats"
     )
-    return fps.join(feats, "fp").select("media_ref", "feats")
