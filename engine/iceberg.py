@@ -179,6 +179,40 @@ def append_new_signatures_sql(
     """
 
 
+def media_groups_ddl(catalog: str = "lake") -> str:
+    """The persisted media-dedup verdict table behind
+    trainops.media_dedup_exact / media_dedup_features (one row per ref) —
+    bucketed by media_ref, the SAME bucketing PLANS.md §5 prescribes for
+    the blobs table, so strip_media_boilerplate's verdict join and any
+    media_ref → canonical_ref rewrite are storage-local equi-joins with no
+    exchange on either side."""
+    return f"""
+    CREATE TABLE IF NOT EXISTS {catalog}.curation.media_groups (
+      media_ref STRING, n_refs BIGINT, canonical_ref STRING,
+      is_boilerplate BOOLEAN
+    ) USING iceberg
+    PARTITIONED BY (bucket(1024, media_ref))
+    """
+
+
+def refresh_media_groups_sql(
+    groups_view: str = "media_group_verdicts", catalog: str = "lake"
+) -> str:
+    """Verdict refresh as an idempotent upsert: re-running a nightly dedup
+    pass replaces each ref's row (group size / canonical may shift as the
+    corpus grows) without touching refs absent from the new pass."""
+    return f"""
+    MERGE INTO {catalog}.curation.media_groups t
+    USING {groups_view} s ON t.media_ref = s.media_ref
+    WHEN MATCHED THEN UPDATE SET
+      n_refs = s.n_refs, canonical_ref = s.canonical_ref,
+      is_boilerplate = s.is_boilerplate
+    WHEN NOT MATCHED THEN INSERT
+      (media_ref, n_refs, canonical_ref, is_boilerplate)
+      VALUES (s.media_ref, s.n_refs, s.canonical_ref, s.is_boilerplate)
+    """
+
+
 def expire_runs_sql(expired_run_ids: list[str], catalog: str = "lake") -> list[str]:
     """S7 retention of RUNS: metadata-only partition drops across all output
     tables — io.py expire_runs' atomic per-run removal, Iceberg-side."""
@@ -214,6 +248,8 @@ def parse_checked_statements(run_id: str = "r1") -> list[str]:
             expire_snapshots_call(),
             dedup_index_ddl(),
             append_new_signatures_sql(),
+            media_groups_ddl(),
+            refresh_media_groups_sql(),
         ]
         + expire_runs_sql([run_id])
     )

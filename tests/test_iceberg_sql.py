@@ -104,3 +104,27 @@ def test_spine_ddl_matches_build_spine_schema(spark):
     assert [(f.name, f.dataType) for f in live.fields] == [
         (f.name, f.dataType) for f in pinned.fields
     ]
+
+
+def test_media_groups_ddl_matches_live_schema(spark):
+    """media_groups DDL is pinned to media_dedup_exact's LIVE output schema
+    (media_dedup_features shares the same _dedup_refs_by_fp tail, so one
+    pin covers both fronts)."""
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from engine.trainops import media_dedup_exact
+
+    blobs = spark.createDataFrame(
+        [("r1", b"\x01"), ("r2", b"\x01")],
+        StructType(
+            [
+                StructField("media_ref", StringType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    live = media_dedup_exact(blobs).schema
+    type_map = {"string": "STRING", "bigint": "BIGINT", "boolean": "BOOLEAN"}
+    want = {f.name: type_map[f.dataType.simpleString()] for f in live.fields}
+    got = _ddl_columns(iceberg.media_groups_ddl())
+    assert got == want, f"DDL {got} != live schema {want}"
