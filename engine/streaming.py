@@ -187,6 +187,33 @@ def stream_dedup_exact(
     )
 
 
+def stream_dedup_media(
+    blob_feats_stream: DataFrame, watermark: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming front line of trainops.media_dedup_features: keep the
+    first-arriving ref per CONTENT signature (trainops.feature_signature_col
+    over decoded PAGE_FEATURES), dropping byte-distinct re-scans of the same
+    page — fresh speckle, rotated passes — that arrive within the watermark
+    horizon.  Same bounded-state design as stream_dedup_exact
+    (dropDuplicatesWithinWatermark: state ~ ingest rate × watermark, never
+    corpus size), and the same division of labor: late re-scans past the
+    horizon are re-admitted and caught by the nightly batch
+    media_dedup_features pass.  Input is decode_blobs output with an
+    event-time column carried through (decode_blobs(..., carry=(ts_col,)))
+    — decode sits on the ingest scan, so only tiny feature rows enter the
+    dedup state store."""
+    from pyspark.sql import functions as F
+
+    from engine.trainops import feature_signature_col
+
+    return (
+        blob_feats_stream.withColumn("fp", feature_signature_col())
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 def stream_extraction(
     spark: SparkSession,
     spans_source_dir: str,

@@ -932,21 +932,30 @@ def media_dedup_features(blob_feats: DataFrame, min_refs: int = 3) -> DataFrame:
     features — the expensive decode is the pipeline's existing scan-side
     pass, reused; then the same fp groupBy + equi-join as the exact front.
     Feature rows are tiny (no raster), so the exchanges stay payload-free."""
+    fps = blob_feats.select("media_ref", feature_signature_col().alias("fp"))
+    return _dedup_refs_by_fp(fps, min_refs)
+
+
+def feature_signature_col(feats_col: str = "feats") -> "F.Column":
+    """Row-local content signature over a PAGE_FEATURES struct column — the
+    near-dup grouping key shared by media_dedup_features (batch) and
+    streaming.stream_dedup_media (ingest front line).  qr_rotation and conf
+    stay OUTSIDE (scan pose / score, not content); decode_error is inside
+    so corrupt payloads never merge with clean ones."""
     rs = "\x1e"
-    sig = F.md5(
+    c = lambda name: F.col(f"{feats_col}.{name}")  # noqa: E731
+    return F.md5(
         F.concat_ws(
             "\x1f",
-            F.coalesce(F.col("feats.page_kind"), F.lit("")),
-            F.array_join(F.coalesce(F.col("feats.labels"), F.array()), rs),
-            F.coalesce(F.col("feats.title_text"), F.lit("")),
-            F.array_join(F.coalesce(F.col("feats.body_lines"), F.array()), rs),
-            F.coalesce(F.col("feats.has_qr"), F.lit(False)).cast("string"),
-            F.array_join(F.coalesce(F.col("feats.boilerplate"), F.array()), rs),
-            F.coalesce(F.col("feats.decode_error"), F.lit("")),
+            F.coalesce(c("page_kind"), F.lit("")),
+            F.array_join(F.coalesce(c("labels"), F.array()), rs),
+            F.coalesce(c("title_text"), F.lit("")),
+            F.array_join(F.coalesce(c("body_lines"), F.array()), rs),
+            F.coalesce(c("has_qr"), F.lit(False)).cast("string"),
+            F.array_join(F.coalesce(c("boilerplate"), F.array()), rs),
+            F.coalesce(c("decode_error"), F.lit("")),
         )
     )
-    fps = blob_feats.select("media_ref", sig.alias("fp"))
-    return _dedup_refs_by_fp(fps, min_refs)
 
 
 def strip_media_boilerplate(spans: DataFrame, groups: DataFrame) -> DataFrame:

@@ -273,3 +273,80 @@ def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
         assert r["doc_id"] in carriers[r["text"]]
     # the cross-batch duplicates (d2/d5/d6 dup t0/t1) were dropped
     assert {r["doc_id"] for r in kept}.isdisjoint({"d2", "d5", "d6"})
+
+
+def test_stream_dedup_media_across_microbatches(spark, tmp_path):
+    """Byte-distinct re-scans of the same page (fresh speckle, a rotated
+    idcard pass) arriving in DIFFERENT micro-batches collapse to the
+    first-arriving ref per content signature; distinct-content pages all
+    survive.  Decode runs on the ingest scan with the event-time column
+    carried through the Arrow batch."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.bitmap import encode_bitmap_page
+    from engine.layout import decode_blobs
+    from engine.streaming import stream_dedup_media
+
+    def page(spec, seed, rotation=None):
+        s = dict(spec)
+        s["noise_px"] = 60
+        s["noise_seed"] = seed
+        if rotation is not None:
+            s["rotation"] = rotation
+        return encode_bitmap_page(s)
+
+    inv = {
+        "page_kind": "janzour",
+        "title_text": "كشف تفاصيل الخدمات",
+        "body_lines": ["Service code BIO0042"],
+    }
+    idc = {"page_kind": "idcard", "body_lines": ["اسم المستفيد: مستفيد رقم 7"]}
+    other = {"page_kind": "massara", "body_lines": ["Service code BIO0001"]}
+    files = [
+        [("a1", "2026-01-01 10:00:00", page(inv, 1)),
+         ("b1", "2026-01-01 10:01:00", page(idc, 2, rotation=0))],
+        [("a2", "2026-01-01 10:02:00", page(inv, 3)),      # re-scan of inv
+         ("c1", "2026-01-01 10:03:00", page(other, 4))],
+        [("b2", "2026-01-01 10:04:00", page(idc, 5, rotation=90)),  # rotated re-scan
+         ("a3", "2026-01-01 10:05:00", page(inv, 6))],
+    ]
+    src = tmp_path / "blobs"
+    src.mkdir()
+    pa_schema = pa.schema(
+        [("media_ref", pa.string()), ("ts", pa.string()), ("payload", pa.binary())]
+    )
+    cols = ["media_ref", "ts", "payload"]
+    for i, rows in enumerate(files):
+        path = src / f"part-{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist([dict(zip(cols, r)) for r in rows], schema=pa_schema),
+            path,
+        )
+        t = _time.time() - 100 + i * 10  # pin arrival order (see exact test)
+        os.utime(path, (t, t))
+
+    batch = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "kept"
+    q = (
+        stream_dedup_media(decode_blobs(stream, carry=("ts",)), watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt-media"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept = {r["media_ref"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert set(kept) == {"a1", "b1", "c1"}  # first arrival per content class
+    assert kept["a1"]["feats"]["title_text"] == "كشف تفاصيل الخدمات"
