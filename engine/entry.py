@@ -725,6 +725,194 @@ def dedup_media_strip(spark, sf_dir):
     return out.select("doc_id", "offset", "kind", "media_ref")
 
 
+def _interleaved_curation_corpus(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Interleaved corpus with BOTH curation signals planted: docs with
+    doc_id % 10 == 7 mirror doc_id-1's text spans wholesale (exact text
+    duplicates → deterministic LSH clusters, keep-min drops the mirror),
+    and every doc carries a media span whose page follows the strip
+    corpus's class/pair cycle (_strip_corpus_payload).  Text spans follow
+    the _text_spans layout (doc text / boilerplate / tail marker) built
+    from the SOURCE doc, so the assembled doc text is restatable in SQL
+    via a documents self-join on the mirror arithmetic."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    eff = F.when(
+        (F.col("doc_id") % 10 == 7) & (F.col("doc_id") > 0), F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    base = d.select(F.col("doc_id").alias("phys_id"), eff.alias("src_id"))
+    src = d.select(F.col("doc_id").alias("src_id"), F.col("text").alias("src_text"))
+    j = base.join(src, "src_id")
+    span = lambda kind, text, ref, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        ref.alias("media_ref"),
+        F.lit(off).cast("int").alias("offset"),
+    )
+    nul = F.lit(None).cast("string")
+    tail = F.concat(F.lit("tail marker k"), (F.col("src_id") % 10).cast("string"))
+    ref = F.concat(F.lit("doc-media-"), F.col("phys_id").cast("string"))
+    # docs with phys_id % 50 == 3 carry a 600-token body → dropped_quality;
+    # the body is also maximally repetitive, pinning quality's precedence
+    # over the repetition flag (never a mirror: %50==3 → %10==3 ≠ 7)
+    body = F.when(
+        F.col("phys_id") % 50 == 3,
+        F.concat(F.repeat(F.lit("w "), 599), F.lit("w")),
+    ).otherwise(F.col("src_text"))
+    spans = j.select(
+        F.col("phys_id").cast("string").alias("doc_id"),
+        F.array(
+            span("text", tail, nul, 2),
+            span("media", nul, ref, 3),
+            span("text", body, nul, 0),
+            span("text", F.lit(BOILER_SPAN), nul, 1),
+        ).alias("spans"),
+    )
+    blobs = j.select(
+        F.concat(F.lit("doc-media-"), F.col("phys_id").cast("string")).alias(
+            "media_ref"
+        ),
+        _strip_corpus_payload(F.col("phys_id")).alias("payload"),
+    )
+    return spans, blobs
+
+
+def _interleaved_curation_ctes() -> str:
+    """Shared oracle CTE chain for the curate_interleaved queries: assembled
+    doc text via the mirror self-join, the curation verdict chain
+    (quality → repetition → LSH → recursive-CTE CC with VARCHAR keep-min,
+    matching Spark's string doc_ids), and the media strip group cycle."""
+    from engine.trainops import _REP_FLAG_SQL, _SIG_SQL, _rep_doc_ctes, _shingle_sql
+
+    return f"""
+    iaug AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 50 = 3 THEN repeat('w ', 599) || 'w'
+                  ELSE s.text END
+               || ' {BOILER_SPAN} tail marker k'
+               || CAST(s.doc_id % 10 AS VARCHAR) AS text
+      FROM documents d JOIN documents s
+        ON s.doc_id = CASE WHEN d.doc_id % 10 = 7 AND d.doc_id > 0
+                           THEN d.doc_id - 1 ELSE d.doc_id END
+    ),
+    {_rep_doc_ctes('iaug')},
+    labeled AS (
+      SELECT a.doc_id,
+             CASE WHEN len(string_split(a.text, ' ')) NOT BETWEEN 10 AND 500
+                    THEN 'quality'
+                  WHEN {_REP_FLAG_SQL} THEN 'repetition'
+             END AS pre_reason
+      FROM iaug a
+      LEFT JOIN bg_doc b USING (doc_id)
+      LEFT JOIN tg_doc t USING (doc_id)
+    ),
+    surv AS (
+      SELECT a.doc_id, a.text FROM iaug a
+      JOIN labeled l USING (doc_id) WHERE l.pre_reason IS NULL
+    ),
+    sh AS ({_shingle_sql('surv')}),
+    sig AS ({_SIG_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT CAST(doc_a AS VARCHAR) AS a, CAST(doc_b AS VARCHAR) AS b FROM pairs
+      UNION
+      SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+    outc AS (
+      SELECT CAST(l.doc_id AS VARCHAR) AS doc_id,
+             CASE WHEN l.pre_reason IS NOT NULL THEN 'dropped_' || l.pre_reason
+                  WHEN c.comp IS NOT NULL AND c.comp <> CAST(l.doc_id AS VARCHAR)
+                    THEN 'dropped_duplicate'
+                  ELSE 'kept' END AS outcome
+      FROM labeled l LEFT JOIN comp c ON c.doc_id = CAST(l.doc_id AS VARCHAR)
+    ),
+    kept AS (SELECT doc_id FROM outc WHERE outcome = 'kept'),
+    mrefs AS (
+      SELECT doc_id AS i,
+             'doc-media-' || CAST(doc_id AS VARCHAR) AS media_ref,
+             CASE
+               WHEN (doc_id % {_NEARDUP_CLASSES}) % 5 = 4 THEN
+                 'p' || CAST(doc_id - {_NEARDUP_CLASSES}
+                             * ((doc_id // {_NEARDUP_CLASSES}) % 2) AS VARCHAR)
+               WHEN (doc_id % {_NEARDUP_CLASSES}) % 8 = 7 THEN 'c7'
+               ELSE 'c' || CAST(doc_id % {_NEARDUP_CLASSES} AS VARCHAR)
+             END AS grp
+      FROM documents
+    ),
+    mg AS (
+      SELECT grp, count(*) AS n, min(media_ref) AS canonical
+      FROM mrefs GROUP BY grp
+    )"""
+
+
+@_local_q(
+    "train_curate_interleaved",
+    "END-TO-END INTERLEAVED curation lineage — both graft-cell sides in one "
+    "verdict chain: doc text ASSEMBLED from offset-ordered spans (A2) → "
+    "quality window → repetition flags → LSH duplicate clusters over "
+    "planted whole-doc mirrors → keep-min; per-outcome doc counts",
+    f"""
+    WITH RECURSIVE {_interleaved_curation_ctes()}
+    SELECT outcome, count(*) AS docs FROM outc GROUP BY outcome
+    """,
+)
+def train_curate_interleaved(spark, sf_dir):
+    from engine.trainops import interleaved_outcomes
+
+    spans, _ = _interleaved_curation_corpus(spark, sf_dir)
+    exploded = spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    return (
+        interleaved_outcomes(exploded)
+        .groupBy("outcome")
+        .agg(F.count("*").alias("docs"))
+    )
+
+
+@_local_q(
+    "x_curate_interleaved_spans",
+    "END-TO-END INTERLEAVED curation, materialized side: kept docs' curated "
+    "spans — text spans of docs surviving quality/repetition/dedup, plus "
+    "their media spans surviving the pixel-level boilerplate strip with "
+    "canonicalized refs; dropped docs disappear whole",
+    f"""
+    WITH RECURSIVE {_interleaved_curation_ctes()}
+    SELECT k.doc_id, t.off AS offset, 'text' AS kind,
+           CAST(NULL AS VARCHAR) AS media_ref
+    FROM kept k, (VALUES (0),(1),(2)) AS t(off)
+    UNION ALL
+    SELECT CAST(r.i AS VARCHAR) AS doc_id, 3 AS offset,
+           'media' AS kind, g.canonical AS media_ref
+    FROM mrefs r JOIN mg g USING (grp)
+    JOIN kept k ON k.doc_id = CAST(r.i AS VARCHAR)
+    WHERE g.n < 3
+    """,
+)
+def x_curate_interleaved_spans(spark, sf_dir):
+    from engine.layout import decode_blobs
+    from engine.trainops import curate_interleaved
+
+    spans, blobs = _interleaved_curation_corpus(spark, sf_dir)
+    exploded = spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    return curate_interleaved(exploded, decode_blobs(blobs)).select(
+        "doc_id", "offset", "kind", "media_ref"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Full pipeline over the interleaved corpus; returns exploded spans_out."""
     spans, blobs = interleaved_corpus(spark, sf_dir)

@@ -1887,7 +1887,17 @@ def _curation_outcomes(spark, sf_dir) -> DataFrame:
     (dropping a low-quality doc never deletes its whole cluster's content:
     the cluster min is re-elected among the kept members).
     """
-    aug = _augmented(spark, sf_dir)
+    return curation_outcomes(_augmented(spark, sf_dir))
+
+
+def curation_outcomes(aug: DataFrame) -> DataFrame:
+    """Corpus-parametric core of _curation_outcomes: the full verdict chain
+    over ANY (doc_id, source, text) frame — the sf-dir form feeds it the
+    augmented documents table, curate_interleaved feeds it doc text
+    assembled from interleaved spans.  Keep-min per duplicate cluster
+    orders by the doc_id column's own type (numeric ids numerically,
+    string ids lexicographically) — oracles must compare in the same id
+    space."""
     n_tokens = F.size(F.split("text", " "))
     docs = aug.withColumn(
         "pre_reason", F.when((n_tokens < 10) | (n_tokens > 500), "quality")
@@ -1966,6 +1976,68 @@ def train_corpus_filtered(spark, sf_dir):
         _curation_outcomes(spark, sf_dir)
         .groupBy("source", "outcome")
         .agg(F.count("*").alias("docs"))
+    )
+
+
+def assemble_doc_text(exploded: DataFrame) -> DataFrame:
+    """(doc_id, kind, text, media_ref, offset) exploded spans → (doc_id,
+    text): offset-ordered space-join of the text spans — the A2 reassembly
+    discipline at curation granularity, so doc-level quality/repetition/
+    dedup judge the document a reader would see, not span fragments.
+    One groupBy; array_sort on (offset, text) structs orders by offset
+    (offsets are unique per doc by the input contract)."""
+    return (
+        exploded.filter(F.col("kind") == "text")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+
+
+def curate_interleaved(
+    exploded: DataFrame, blob_feats: DataFrame, min_refs: int = 3
+) -> DataFrame:
+    """END-TO-END curation of an INTERLEAVED corpus — both sides of the
+    graft cell in one pass:
+
+      text side:  spans → assemble_doc_text → curation_outcomes (quality
+                  window → repetition flags → LSH duplicate clusters →
+                  keep-min) → per-doc verdict
+      media side: decoded blob features → media_dedup_features groups →
+                  strip_media_boilerplate (boilerplate media spans dropped,
+                  survivors' refs canonicalized)
+
+    Output: the kept documents' curated spans (text spans + surviving
+    canonicalized media spans) — dropped docs disappear whole (left-semi on
+    the kept verdicts), kept docs keep only content-bearing media.
+
+    Scale shape: the spans scan feeds two column-pruned subtrees (text
+    branch reads kind/text/offset, media branch kind/media_ref/offset —
+    parquet reads each column set once); the curation chain runs on the
+    assembled doc frame (one groupBy), the media chain on payload-free
+    feature rows; the final semi-join ships only kept doc_ids."""
+    outcomes = curation_outcomes(
+        assemble_doc_text(exploded).withColumn("source", F.lit("interleaved"))
+    )
+    stripped = strip_media_boilerplate(
+        exploded, media_dedup_features(blob_feats, min_refs)
+    )
+    kept = outcomes.filter(F.col("outcome") == "kept").select("doc_id")
+    return stripped.join(kept, "doc_id", "semi")
+
+
+def interleaved_outcomes(exploded: DataFrame) -> DataFrame:
+    """Lineage side of curate_interleaved: per-doc curation verdicts over
+    the span-assembled doc text (same chain, exposed for audit rollups)."""
+    return curation_outcomes(
+        assemble_doc_text(exploded).withColumn("source", F.lit("interleaved"))
     )
 
 

@@ -19,6 +19,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
 _PAIRING_QUERIES = [
     entry.dedup_media_features,
     entry.dedup_media_strip,
+    entry.x_curate_interleaved_spans,
+    entry.train_curate_interleaved,
     trainops.dedup_minhash_lsh,
     trainops.dedup_ngram_jaccard,
     trainops.dedup_simhash_hamming,
@@ -776,3 +778,72 @@ def test_decode_blobs_distinct_matches_row_path(spark):
     assert distinct_path == row_path
     assert distinct_path["bad-1"]["decode_error"] is not None
     assert distinct_path["logo-3"]["title_text"] == "كشف تفاصيل الخدمات"
+
+
+def test_curate_interleaved_drops_docs_whole_and_strips_media(spark):
+    """Hand-built interleaved corpus: a doc dropped by the TEXT chain loses
+    ALL its spans (even media whose group survives the strip); a kept doc
+    keeps offset-complete text spans plus its canonicalized media span; a
+    kept doc whose media is boilerplate keeps only text."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from engine.bitmap import encode_bitmap_page
+    from engine.layout import decode_blobs
+
+    span_schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("kind", StringType()),
+            StructField("text", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("offset", IntegerType()),
+        ]
+    )
+    # ≥21 distinct bigrams per doc so the Gopher 5% top-bigram rule cannot
+    # fire on size alone; dA/dC share no words so LSH never pairs them
+    text_a = " ".join(f"alpha{i}" for i in range(30))
+    text_c = " ".join(f"charlie{i}" for i in range(30))
+    spans = spark.createDataFrame(
+        [
+            ("dA", "text", text_a, None, 0),
+            ("dA", "media", None, "m-a", 1),
+            ("dB", "text", "w " * 599 + "w", None, 0),  # 600 tokens → quality drop
+            ("dB", "media", None, "m-b", 1),
+            ("dC", "text", text_c, None, 0),
+            ("dC", "media", None, "m-c", 1),
+        ],
+        span_schema,
+    )
+
+    def page(body, seed):
+        return encode_bitmap_page(
+            {"page_kind": "massara", "body_lines": [body], "noise_px": 50, "noise_seed": seed}
+        )
+
+    from pyspark.sql.types import BinaryType
+
+    blob_schema = StructType(
+        [
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    # m-a pairs with m-b (n=2 < 3 → kept, canonical m-a); m-c joins two
+    # extra refs to cross the boilerplate threshold (n=3 → stripped)
+    blobs = spark.createDataFrame(
+        [
+            ("m-a", page("shared sheet", 1)),
+            ("m-b", page("shared sheet", 2)),
+            ("m-c", page("logo page", 3)),
+            ("m-x1", page("logo page", 4)),
+            ("m-x2", page("logo page", 5)),
+        ],
+        blob_schema,
+    )
+    out = trainops.curate_interleaved(spans, decode_blobs(blobs)).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["kind"], r["media_ref"], r["offset"]))
+    assert "dB" not in by_doc  # quality-dropped doc disappears whole
+    assert sorted(by_doc["dA"]) == [("media", "m-a", 1), ("text", None, 0)]
+    assert sorted(by_doc["dC"]) == [("text", None, 0)]  # media was boilerplate
