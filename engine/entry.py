@@ -881,7 +881,7 @@ def train_curate_interleaved(spark, sf_dir):
     )
 
 
-@_local_q(
+@_q(
     "x_curate_interleaved_spans",
     "END-TO-END INTERLEAVED curation, materialized side: kept docs' curated "
     "spans — text spans of docs surviving quality/repetition/dedup, plus "
@@ -899,6 +899,7 @@ def train_curate_interleaved(spark, sf_dir):
     JOIN kept k ON k.doc_id = CAST(r.i AS VARCHAR)
     WHERE g.n < 3
     """,
+    priority=PRIORITY_FLAGSHIP,
 )
 def x_curate_interleaved_spans(spark, sf_dir):
     from engine.layout import decode_blobs

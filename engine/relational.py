@@ -187,9 +187,13 @@ def p6_skip_filter(spark, sf_dir):
 # =========================================================================
 
 
-@_q(
+@_local_q(
     "f2_regexp_extract",
-    "F2 — first regex group extraction (text_utils.py:17-26)",
+    "F2 — first regex group extraction (text_utils.py:17-26); retired to the "
+    "local registry late r5 (f20 precedent: the regex-extract path is "
+    "driver-attested through x_header_parse_massara / "
+    "x_invoice_header_adjacency, whose parsers are regexp_extract "
+    "compositions) to free the slot for x_curate_interleaved_spans",
     r"""
     SELECT nxt, count(*) AS cnt FROM (
       SELECT regexp_extract(text, 'scan (\w+)', 1) AS nxt FROM documents

@@ -38,6 +38,7 @@ def test_registry_fits_driver_window():
     assert set(flagships) <= set(names[:DRIVER_QUERY_CAP])
     for must in (
         "train_corpus_filtered",
+        "x_curate_interleaved_spans",
         "x_table_parse_service",
         "x_media_route_counts",
         "x_qr_rotation_hist",
