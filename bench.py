@@ -68,6 +68,10 @@ HEADLINE = [
     # added r5 (new corpus-curation flagship): headline totals are not
     # comparable to r4 and earlier — compare per-query (PLANS.md §4j)
     "train_corpus_filtered",
+    # added end-r5 (interleaved curation capstone — decode + verdict chain
+    # + strip; COVERAGE.md carries its cost decomposition): totals again
+    # not comparable to earlier rounds, compare per-query
+    "x_curate_interleaved_spans",
 ]
 
 BENCH_SEED = 1234
