@@ -136,3 +136,87 @@ def test_merge_sequence_reproduces_resume_union(spark, corpus, tmp_path):
     for doc_id, fp, _ in src3:
         assert before[doc_id][0] == fp
     con.close()
+
+
+def test_media_groups_merge_refresh_is_idempotent_upsert(spark):
+    """refresh_media_groups_sql semantics on DuckDB (same desugaring as the
+    doc MERGE above): re-running a nightly media-dedup pass after the corpus
+    grew must UPDATE every ref present in the new verdicts (group sizes and
+    canonicals shift), INSERT new refs, and leave refs absent from the pass
+    untouched — and running the same pass twice must be a no-op."""
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from engine.trainops import media_dedup_exact
+
+    schema = StructType(
+        [
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def verdicts(rows):
+        df = media_dedup_exact(spark.createDataFrame(rows, schema))
+        return [
+            (r["media_ref"], r["n_refs"], r["canonical_ref"], r["is_boilerplate"])
+            for r in df.collect()
+        ]
+
+    day1 = [("r1", b"\x01logo"), ("r2", b"\x01logo"), ("r9", b"\x07old")]
+    # day 2 re-scans a GROWN corpus slice: the logo group crosses the
+    # boilerplate threshold and r9 is absent from the pass (untouched)
+    day2 = [
+        ("r1", b"\x01logo"),
+        ("r2", b"\x01logo"),
+        ("r3", b"\x01logo"),
+        ("r4", b"\x02stamp"),
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE media_groups (media_ref TEXT, n_refs BIGINT,"
+        " canonical_ref TEXT, is_boilerplate BOOLEAN)"
+    )
+
+    def merge(rows):
+        con.execute(
+            "CREATE OR REPLACE TABLE src (media_ref TEXT, n_refs BIGINT,"
+            " canonical_ref TEXT, is_boilerplate BOOLEAN)"
+        )
+        con.executemany("INSERT INTO src VALUES (?, ?, ?, ?)", rows)
+        con.execute(
+            """
+            UPDATE media_groups SET n_refs = src.n_refs,
+                   canonical_ref = src.canonical_ref,
+                   is_boilerplate = src.is_boilerplate
+            FROM src WHERE media_groups.media_ref = src.media_ref
+            """
+        )
+        con.execute(
+            """
+            INSERT INTO media_groups SELECT s.* FROM src s
+            WHERE NOT EXISTS (SELECT 1 FROM media_groups t
+                              WHERE t.media_ref = s.media_ref)
+            """
+        )
+
+    def state():
+        return {
+            r[0]: r[1:]
+            for r in con.sql(
+                "SELECT media_ref, n_refs, canonical_ref, is_boilerplate"
+                " FROM media_groups"
+            ).fetchall()
+        }
+
+    merge(verdicts(day1))
+    assert state()["r1"] == (2, "r1", False)
+    merge(verdicts(day2))
+    got = state()
+    assert set(got) == {"r1", "r2", "r3", "r4", "r9"}
+    for r in ("r1", "r2", "r3"):
+        assert got[r] == (3, "r1", True)  # group grew across the threshold
+    assert got["r4"] == (1, "r4", False)
+    assert got["r9"] == (1, "r9", False)  # absent from the pass → untouched
+    merge(verdicts(day2))  # idempotent re-run
+    assert state() == got
