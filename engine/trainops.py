@@ -2023,9 +2023,7 @@ def curate_interleaved(
     parquet reads each column set once); the curation chain runs on the
     assembled doc frame (one groupBy), the media chain on payload-free
     feature rows; the final semi-join ships only kept doc_ids."""
-    outcomes = curation_outcomes(
-        assemble_doc_text(exploded).withColumn("source", F.lit("interleaved"))
-    )
+    outcomes = interleaved_outcomes(exploded)
     stripped = strip_media_boilerplate(
         exploded, media_dedup_features(blob_feats, min_refs)
     )
