@@ -2819,3 +2819,195 @@ def train_curate_incremental(spark, sf_dir):
     corpus_sigs = minhash_signatures(aug.filter(F.col("doc_id") % 4 != 0))
     batch = aug.filter(F.col("doc_id") % 4 == 0)
     return curate_incremental(corpus_sigs, batch)
+
+
+# --- semantic dedup (SemDeDup, Abbas et al. 2023): k-means over embeddings
+# then within-cluster cosine near-dup keep-min ------------------------------
+#
+# Complements the hyperplane-LSH embedding near-dup (dedup_embedding_cosine):
+# LSH buckets are data-independent, k-means cells adapt to the corpus's
+# actual density, which is why the published method clusters first.  The
+# whole fit is deterministic — init from the k smallest vec_ids, a FIXED
+# number of Lloyd assignment steps, centroid means quantized to 6 decimals
+# after every update — so the DuckDB oracle replays the identical arithmetic
+# as unrolled CTEs (no rand(), no convergence-dependent iteration count:
+# the same task-retry-determinism discipline as sample_stratified).
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 2  # assignment steps; ITERS - 1 centroid updates between
+_SEMDEDUP_TAU = 0.3  # same verify threshold as dedup_embedding_cosine
+
+
+def _dot(a, b):
+    """Order-fixed dot product: left-to-right fold over dims, the same
+    summation order as DuckDB's list_dot_product — centroid inputs are
+    quantized (round 6), so both engines see bit-identical operands."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means → (vec_id, cluster, emb).
+
+    - init: the k smallest vec_ids' embeddings, cluster = rank - 1 (the
+      4-row sort/limit/window runs on a k-row frame — not a global window).
+    - assign: argmin over dot(c,c) - 2*dot(x,c) (the ||x||² term is constant
+      per point), ties broken by cluster id; centroids enter as a BROADCAST
+      k-row frame, so the "cross join" is a map pass over the points — the
+      k× dot-product compute is inherent to k-means assignment, and no
+      point-side data ever shuffles for it.
+    - update: per-dimension mean, ROUNDED to 6 decimals — quantization makes
+      the next assignment's operands identical across engines regardless of
+      each engine's partial-sum order (doubles agree to ~1e-13; the round
+      collapses that far below any decision boundary).
+    - a cluster that empties after a step simply disappears from the next
+      centroid frame (both engines agree; with init inside the data this
+      does not occur on the bench corpora).
+
+    At 10^12 docs: fit on a sample with more iterations offline, then this
+    assignment step is one broadcast map pass over the corpus — the shape
+    SemDeDup-style curation actually runs at scale.
+    """
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    w = Window.orderBy("vec_id")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).alias("cluster"), "emb")
+    )
+    assigned = None
+    for step in range(iters):
+        c = F.broadcast(
+            cents.select("cluster", F.col("emb").alias("c_emb"))
+        )
+        score = _dot(F.col("c_emb"), F.col("c_emb")) - F.lit(2.0) * _dot(
+            F.col("emb"), F.col("c_emb")
+        )
+        assigned = (
+            e.crossJoin(c)
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        score.alias("s"),
+                        F.col("cluster").alias("cluster"),
+                        F.col("emb").alias("emb"),
+                    )
+                ).alias("m")
+            )
+            .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.emb").alias("emb"))
+        )
+        if step < iters - 1:
+            ex = assigned.select("cluster", F.posexplode("emb").alias("pos", "x"))
+            u = ex.groupBy("cluster", "pos").agg(F.round(F.avg("x"), 6).alias("v"))
+            cents = u.groupBy("cluster").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("emb")
+            )
+    return assigned
+
+
+def _kmeans_sql_ctes(
+    k: int = _KMEANS_K, iters: int = _KMEANS_ITERS, dims: int = 64
+) -> str:
+    """The oracle twin of kmeans_assign: unrolled Lloyd CTEs (e, c0,
+    a1, u1, c1, ..., a{iters}); final assignment is a{iters}."""
+    assign = """
+    a{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(c.emb, c.emb)
+                          - 2 * list_dot_product(e.emb, c.emb),
+                          c.cluster) AS rn
+        FROM e, {prev} c) WHERE rn = 1)"""
+    update = """
+    u{i} AS (
+      SELECT a.cluster, t.i AS pos, round(avg(e.emb[t.i]), 6) AS v
+      FROM a{i} a JOIN e USING (vec_id) CROSS JOIN range(1, {hi}) t(i)
+      GROUP BY a.cluster, t.i),
+    c{i} AS (SELECT cluster, list(v ORDER BY pos) AS emb FROM u{i} GROUP BY cluster)"""
+    parts = [
+        f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings),
+    c0 AS (
+      SELECT rn - 1 AS cluster, emb
+      FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, emb FROM e)
+      WHERE rn <= {k})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign.format(i=i, prev=f"c{i - 1}"))
+        if i < iters:
+            parts.append(update.format(i=i, hi=dims + 1))
+    return ",".join(parts)
+
+
+@_local_q(
+    "sim_kmeans_assign",
+    "semantic clustering — deterministic fixed-iteration Lloyd k-means over "
+    "the embedding column (init = k smallest vec_ids, quantized centroid "
+    "updates): the cell structure SemDeDup and mixture balancing consume",
+    f"WITH {_kmeans_sql_ctes()}\n"
+    f"    SELECT vec_id, cluster FROM a{_KMEANS_ITERS}",
+)
+def sim_kmeans_assign(spark, sf_dir):
+    return kmeans_assign(_emb(spark, sf_dir)).select("vec_id", "cluster")
+
+
+@_local_q(
+    "dedup_semdedup",
+    "training-data dedup — SemDeDup (Abbas et al. 2023): k-means cells over "
+    "embeddings, then within-cell cosine >= tau keep-min-vec_id verdicts; "
+    "the density-adaptive complement of the LSH-bucketed embedding near-dup",
+    f"""
+    WITH {_kmeans_sql_ctes()},
+    dups AS (
+      SELECT y.vec_id, min(x.vec_id) AS dup_of
+      FROM a{_KMEANS_ITERS} x
+      JOIN a{_KMEANS_ITERS} y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE {_PAIR_COS_SQL} >= {_SEMDEDUP_TAU}
+      GROUP BY y.vec_id)
+    SELECT a.vec_id, a.cluster, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+    FROM a{_KMEANS_ITERS} a LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def dedup_semdedup(spark, sf_dir):
+    """Within-cell pairing is an EQUI-join on the cluster id (pair counts
+    bounded by cell size ~ n/k; scale k with the corpus like the published
+    method), then the same keep-min-doc verdict convention as every other
+    dedup front: a vec is a dup iff a smaller same-cell vec_id sits within
+    cosine tau, dup_of = the smallest such vec.
+
+    The assignment frame sits at a DAG-diamond fork (both pair sides + the
+    final verdict join), so it is materialized once via _truncate_lineage
+    instead of re-running the k-means fit three times."""
+    a2 = _truncate_lineage(kmeans_assign(_emb(spark, sf_dir)))
+    x = a2.alias("x")
+    y = a2.alias("y")
+    cos = _cos(F.col("x.emb"), F.col("y.emb"))
+    dups = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(cos >= F.lit(_SEMDEDUP_TAU))
+        .groupBy(F.col("y.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("x.vec_id")).alias("dup_of"))
+    )
+    return a2.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )

@@ -847,3 +847,48 @@ def test_curate_interleaved_drops_docs_whole_and_strips_media(spark):
     assert "dB" not in by_doc  # quality-dropped doc disappears whole
     assert sorted(by_doc["dA"]) == [("media", "m-a", 1), ("text", None, 0)]
     assert sorted(by_doc["dC"]) == [("text", None, 0)]  # media was boilerplate
+
+
+def test_semdedup_plan_pair_join_is_cluster_equi(spark):
+    """SemDeDup's within-cell pairing must be an equi-join on the cluster id
+    (SortMergeJoin/ShuffledHashJoin), never an all-pairs shape.  The k-means
+    ASSIGNMENT's k-row broadcast cross pass is by design (each point must
+    score every centroid — same precedent as sim_cosine_topk's 1-row query
+    crossJoin), and it sits behind the _truncate_lineage cut anyway, so the
+    verdict plan itself must be BNLJ-free too."""
+    plan = (
+        trainops.dedup_semdedup(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # assignment is checkpointed
+    assert "Join [cluster" in plan.replace("SortMergeJoin [cluster", "Join [cluster").replace(
+        "ShuffledHashJoin [cluster", "Join [cluster"
+    ), f"within-cell pair join is not a cluster equi-join:\n{plan[:2000]}"
+
+
+def test_kmeans_assign_separates_planted_blobs(spark):
+    """Two well-separated blobs + one near-duplicate pair: the deterministic
+    Lloyd fit must put each blob in one cell, and dedup's keep-min verdict
+    must flag exactly the planted near-dup (checked through the public
+    kmeans_assign API on a hand-built frame)."""
+    import pandas as pd
+
+    dims = 4
+    rows = []
+    # blob A around (1,0,0,0): vec_ids 0..3 — includes init seeds
+    for i, eps in enumerate([0.0, 0.01, -0.01, 0.02]):
+        rows.append({"vec_id": i, "embedding": [1.0 + eps, eps, 0.0, 0.0]})
+    # blob B around (0,0,0,-1): vec_ids 10..12
+    for j, eps in enumerate([0.0, 0.015, -0.015]):
+        rows.append({"vec_id": 10 + j, "embedding": [0.0, eps, 0.0, -1.0 + eps]})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {
+        r["vec_id"]: r["cluster"]
+        for r in trainops.kmeans_assign(df, k=2, iters=2).collect()
+    }
+    assert len({out[i] for i in [0, 1, 2, 3]}) == 1, "blob A split across cells"
+    assert len({out[j] for j in [10, 11, 12]}) == 1, "blob B split across cells"
+    assert out[0] != out[10], "blobs merged into one cell"
