@@ -3011,3 +3011,65 @@ def dedup_semdedup(spark, sf_dir):
         F.col("dup_of").isNotNull().alias("is_dup"),
         "dup_of",
     )
+
+
+def _knuth_full(id_col):
+    """Full-width Knuth value (no bucket fold): the deterministic per-id
+    ORDER used where sampling needs a total order rather than a rate —
+    same 31-bit-mask overflow discipline as _sample_bucket."""
+    return ((id_col % F.lit(2**31)) * F.lit(_KNUTH)) % F.lit(2**32)
+
+
+def sample_cluster_balanced(assigned: DataFrame) -> DataFrame:
+    """Cluster-balanced subsample: per k-means cell, keep the m members with
+    the smallest Knuth hash, where m = the smallest cell's size → every cell
+    contributes EQUALLY to the sampled corpus (the mixture-balancing
+    consumer of kmeans_assign: semantic cells stand in for source tags when
+    the mixture should be balanced by CONTENT, not provenance).
+
+    Deterministic by the same no-rand() argument as sample_stratified: the
+    ordering is (knuth_hash(vec_id), vec_id), so task retries, re-runs, and
+    other engines keep exactly the same members.  One groupBy for cell
+    sizes (k rows, broadcast back) + one per-cell window — the same
+    bucket-local window cost class as pack_sequences.  At extreme scale an
+    approximate variant replaces the window with a rate filter
+    (_sample_bucket < m/cell_size · 10⁴), trading exact counts for a
+    shuffle-free map pass.
+    """
+    m_df = F.broadcast(
+        assigned.groupBy("cluster").count().agg(F.min("count").alias("m"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        _knuth_full(F.col("vec_id")), F.col("vec_id")
+    )
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .crossJoin(m_df)
+        .select(
+            "vec_id", "cluster", (F.col("rn") <= F.col("m")).alias("kept")
+        )
+    )
+
+
+@_local_q(
+    "sim_kmeans_balanced",
+    "training-data mixture balancing — cluster-balanced subsample: per "
+    "k-means cell keep the min-cell-size members with smallest Knuth hash "
+    "(content-balanced corpus, deterministic across engines and retries)",
+    f"""
+    WITH {_kmeans_sql_ctes()},
+    sz AS (SELECT cluster, count(*) AS n FROM a{_KMEANS_ITERS} GROUP BY cluster),
+    m AS (SELECT min(n) AS m FROM sz),
+    rk AS (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY ((vec_id % 2147483648) * {_KNUTH}) % 4294967296,
+                        vec_id) AS rn
+      FROM a{_KMEANS_ITERS})
+    SELECT r.vec_id, r.cluster, r.rn <= m.m AS kept FROM rk r, m
+    """,
+)
+def sim_kmeans_balanced(spark, sf_dir):
+    return sample_cluster_balanced(
+        kmeans_assign(_emb(spark, sf_dir)).select("vec_id", "cluster")
+    )

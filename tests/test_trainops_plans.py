@@ -892,3 +892,25 @@ def test_kmeans_assign_separates_planted_blobs(spark):
     assert len({out[i] for i in [0, 1, 2, 3]}) == 1, "blob A split across cells"
     assert len({out[j] for j in [10, 11, 12]}) == 1, "blob B split across cells"
     assert out[0] != out[10], "blobs merged into one cell"
+
+
+def test_cluster_balanced_sample_equalizes_cells(spark):
+    """Every cell must contribute exactly min-cell-size kept members, and
+    the kept set must be identical across re-evaluations (hash order, not
+    rand())."""
+    import pandas as pd
+
+    rows = [
+        {"vec_id": i, "cluster": c}
+        for c, ids in {0: range(0, 9), 1: range(20, 24), 2: range(40, 46)}.items()
+        for i in ids
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = trainops.sample_cluster_balanced(df)
+    kept = out.filter("kept").groupBy("cluster").count().collect()
+    assert {r["cluster"]: r["count"] for r in kept} == {0: 4, 1: 4, 2: 4}
+    first = sorted(r["vec_id"] for r in out.filter("kept").collect())
+    again = sorted(r["vec_id"] for r in out.filter("kept").collect())
+    assert first == again
+    # total rows preserved: verdict column, not a destructive filter
+    assert out.count() == len(rows)
