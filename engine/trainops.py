@@ -3073,3 +3073,115 @@ def sim_kmeans_balanced(spark, sf_dir):
     return sample_cluster_balanced(
         kmeans_assign(_emb(spark, sf_dir)).select("vec_id", "cluster")
     )
+
+
+# --- temperature sampling (mixture flattening) -------------------------------
+
+TEMP_ALPHA = 0.7  # target share p_s ∝ n_s^alpha — the T5/mT5 flattening knob
+
+
+def sample_temperature(docs: DataFrame, alpha: float = TEMP_ALPHA) -> DataFrame:
+    """Temperature-flattened mixture sampling (the multilingual-LM standard:
+    target per-source share p_s ∝ n_s^alpha, alpha < 1 downweights dominant
+    sources).  Achieved as a per-doc keep rate
+    ``rate_s = (n_min / n_s)^(1 - alpha)`` — the smallest source keeps
+    everything, a source X× larger keeps X^(alpha-1) of itself — applied
+    through the SAME deterministic Knuth-hash bucket as sample_stratified
+    (no rand(): retries and engines agree doc-for-doc).
+
+    Unlike sample_stratified's hand-written rates map, the rates here are
+    DERIVED FROM THE DATA: one groupBy for source counts (tiny frame,
+    broadcast back), then a row-local filter.  Rates quantize to basis
+    points via floor(1e4·rate) so both engines compare the same integer.
+    """
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    rates = F.broadcast(
+        counts.crossJoin(F.broadcast(n_min)).select(
+            "source",
+            F.floor(
+                F.lit(10_000.0)
+                * F.pow(F.col("n_min") / F.col("n_s"), F.lit(1.0 - alpha))
+            ).alias("rate_bp"),
+        )
+    )
+    return docs.join(rates, "source").filter(
+        _sample_bucket(F.col("doc_id")) < F.col("rate_bp")
+    )
+
+
+@_local_q(
+    "text_sample_temperature",
+    "training-data mixture flattening — temperature sampling (share ∝ "
+    "n_s^alpha): data-derived per-source keep rates through the "
+    "deterministic Knuth-hash bucket, audited per source",
+    f"""
+    WITH cnt AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    rates AS (
+      SELECT source,
+             floor(10000.0 * pow((SELECT min(n_s) FROM cnt)::DOUBLE / n_s,
+                                 {1.0 - TEMP_ALPHA}))::BIGINT AS rate_bp
+      FROM cnt)
+    SELECT d.source, r.rate_bp, count(*) AS kept,
+           min(d.doc_id) AS min_kept_doc, max(d.doc_id) AS max_kept_doc
+    FROM documents d JOIN rates r USING (source)
+    WHERE ((d.doc_id % 2147483648) * {_KNUTH}) % 4294967296 % 10000 < r.rate_bp
+    GROUP BY d.source, r.rate_bp
+    """,
+)
+def text_sample_temperature(spark, sf_dir):
+    kept = sample_temperature(load(spark, sf_dir, "documents"))
+    return kept.groupBy("source", "rate_bp").agg(
+        F.count("*").alias("kept"),
+        F.min("doc_id").alias("min_kept_doc"),
+        F.max("doc_id").alias("max_kept_doc"),
+    )
+
+
+@_local_q(
+    "train_corpus_semantic",
+    "corpus-level SemDeDup consumption: the embeddings' within-cell cosine "
+    "verdicts applied to the documents table (vec_id = doc_id), per-(source, "
+    "outcome) lineage counts — docs without an embedding pass through kept",
+    f"""
+    WITH {_kmeans_sql_ctes()},
+    dups AS (
+      SELECT y.vec_id, min(x.vec_id) AS dup_of
+      FROM a{_KMEANS_ITERS} x
+      JOIN a{_KMEANS_ITERS} y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE {_PAIR_COS_SQL} >= {_SEMDEDUP_TAU}
+      GROUP BY y.vec_id)
+    SELECT d.source,
+           CASE WHEN dp.vec_id IS NOT NULL THEN 'dropped_semantic_dup'
+                ELSE 'kept' END AS outcome,
+           count(*) AS docs
+    FROM documents d LEFT JOIN dups dp ON dp.vec_id = d.doc_id
+    GROUP BY d.source, outcome
+    """,
+)
+def train_corpus_semantic(spark, sf_dir):
+    """The consumption shape a curation pipeline runs: dedup_semdedup's
+    keep-min verdicts anti-join the corpus.  The verdict side carries only
+    (vec_id) for flagged dups — tiny next to the corpus, and the join is a
+    doc_id equi-join (bucket-local under the PLANS.md §5 layout).  Docs the
+    embedding job never covered cannot be semantically deduped and pass
+    through as kept (the same explicit-domain rule as repetition_flags)."""
+    docs = load(spark, sf_dir, "documents")
+    dups = (
+        dedup_semdedup(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("dup"))
+    )
+    return (
+        docs.join(dups, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("dup"), F.lit("dropped_semantic_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("outcome"),
+        )
+        .groupBy("source", "outcome")
+        .agg(F.count("*").alias("docs"))
+    )

@@ -914,3 +914,23 @@ def test_cluster_balanced_sample_equalizes_cells(spark):
     assert first == again
     # total rows preserved: verdict column, not a destructive filter
     assert out.count() == len(rows)
+
+
+def test_temperature_sampling_flattens_skewed_sources(spark):
+    """A 10:1 source skew must flatten toward n^alpha shares: the dominant
+    source's keep rate is (n_min/n_s)^(1-alpha) while the smallest source
+    keeps (nearly) everything, and the kept set is hash-deterministic."""
+    import pandas as pd
+
+    rows = [{"doc_id": i, "source": "big", "text": "t"} for i in range(1000)] + [
+        {"doc_id": 10_000 + i, "source": "small", "text": "t"} for i in range(100)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    kept = trainops.sample_temperature(df, alpha=0.7)
+    by_src = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    # rate_big = floor(1e4 * 0.1^0.3) = 5011 bp; the hash bucket is uniform
+    # enough that kept/big lands well inside (0.40, 0.60); small keeps ~all
+    assert 400 < by_src["big"] < 600, by_src
+    assert by_src["small"] > 95, by_src
+    again = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert by_src == again  # re-evaluation keeps the identical set
