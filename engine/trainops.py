@@ -3185,3 +3185,65 @@ def train_corpus_semantic(spark, sf_dir):
         .groupBy("source", "outcome")
         .agg(F.count("*").alias("docs"))
     )
+
+
+# --- model-based quality filter (hashing-trick linear scorer) ----------------
+#
+# The DCLM/fastText-style slot in a curation pipeline: score every doc with a
+# LINEAR model over hashed token features and threshold.  The Spark-side
+# plumbing is the real thing — hashing-trick featurization (md5 → 16-bit
+# bucket), per-token weight lookup, integer-exact accumulation, row-local
+# zero-exchange scoring over the corpus scan.  The WEIGHTS are a frozen
+# deterministic stand-in (hash-derived pseudo-weights in [-5000, 5000] cbp —
+# no training corpus exists in this sandbox); a learned fastText/LR model
+# drops in either as this same closed-form expression or as a broadcast
+# (bucket → weight) table joined pre-aggregation, with an identical plan
+# shape.  Scores accumulate as INTEGERS so both engines agree exactly
+# regardless of summation order (the same determinism discipline as the
+# Knuth-hash samplers; a float mean would differ in ULPs across engines).
+
+
+def _model_token_weight(tok):
+    """Frozen pseudo-weight for one token: md5 → 16-bit bucket → Knuth mix →
+    centi-basis-points in [-5000, 5000] (zero-mean over buckets)."""
+    h = F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long")
+    return (h * F.lit(_KNUTH)) % F.lit(2**32) % F.lit(10_001) - F.lit(5_000)
+
+
+def quality_model_score(docs: DataFrame) -> DataFrame:
+    """Per-doc linear quality score + keep flag — one projection, no
+    exchange: the token transform/aggregate runs inside the corpus scan."""
+    toks = F.split(F.col("text"), " ")
+    sum_w = F.aggregate(
+        F.transform(toks, _model_token_weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        sum_w.alias("score_sum"),
+        (sum_w > 0).alias("kept"),
+    )
+
+
+@_local_q(
+    "text_quality_model",
+    "training-data quality — model-based filter (hashing-trick linear "
+    "scorer, fastText/DCLM shape): md5 token buckets → frozen pseudo-weights "
+    "→ integer-exact doc score → threshold flag; row-local, zero-exchange",
+    f"""
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+             t -> ((('0x' || substr(md5(t), 1, 4))::BIGINT * {_KNUTH})
+                   % 4294967296) % 10001 - 5000)) AS BIGINT) AS score_sum,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+             t -> ((('0x' || substr(md5(t), 1, 4))::BIGINT * {_KNUTH})
+                   % 4294967296) % 10001 - 5000)) AS BIGINT) > 0 AS kept
+    FROM documents
+    """,
+)
+def text_quality_model(spark, sf_dir):
+    return quality_model_score(load(spark, sf_dir, "documents"))

@@ -934,3 +934,22 @@ def test_temperature_sampling_flattens_skewed_sources(spark):
     assert by_src["small"] > 95, by_src
     again = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
     assert by_src == again  # re-evaluation keeps the identical set
+
+
+def test_quality_model_plan_is_exchange_free_and_deterministic(spark):
+    """The model scorer must run inside the corpus scan (no Exchange in the
+    plan) and produce identical verdicts across evaluations."""
+    import pandas as pd
+
+    rows = [
+        {"doc_id": i, "source": "s", "text": " ".join(f"w{i}x{j}" for j in range(5))}
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = trainops.quality_model_score(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    first = {r["doc_id"]: (r["score_sum"], r["kept"]) for r in out.collect()}
+    again = {r["doc_id"]: (r["score_sum"], r["kept"]) for r in out.collect()}
+    assert first == again
+    assert {v[1] for v in first.values()} == {True, False}  # discriminates
