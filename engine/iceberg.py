@@ -213,6 +213,34 @@ def refresh_media_groups_sql(
     """
 
 
+def semantic_cells_ddl(catalog: str = "lake") -> str:
+    """The persisted k-means cell assignment behind trainops.dedup_semdedup /
+    sample_cluster_balanced (one row per embedded doc) — identity-partitioned
+    by cluster, so within-cell pairing and per-cell balanced sampling are
+    partition-pruned to single cells, and a new assignment pass (model
+    refresh) replaces cells without rewriting the corpus."""
+    return f"""
+    CREATE TABLE IF NOT EXISTS {catalog}.curation.semantic_cells (
+      vec_id BIGINT, cluster INT
+    ) USING iceberg
+    PARTITIONED BY (cluster)
+    """
+
+
+def refresh_semantic_cells_sql(
+    assign_view: str = "kmeans_assignments", catalog: str = "lake"
+) -> str:
+    """Assignment refresh as an idempotent upsert: re-fitting the cells
+    (more data, new k) re-labels every embedded doc; docs absent from the
+    new pass keep their last assignment until a full refit replaces them."""
+    return f"""
+    MERGE INTO {catalog}.curation.semantic_cells t
+    USING {assign_view} s ON t.vec_id = s.vec_id
+    WHEN MATCHED THEN UPDATE SET cluster = s.cluster
+    WHEN NOT MATCHED THEN INSERT (vec_id, cluster) VALUES (s.vec_id, s.cluster)
+    """
+
+
 def expire_runs_sql(expired_run_ids: list[str], catalog: str = "lake") -> list[str]:
     """S7 retention of RUNS: metadata-only partition drops across all output
     tables — io.py expire_runs' atomic per-run removal, Iceberg-side."""
@@ -250,6 +278,8 @@ def parse_checked_statements(run_id: str = "r1") -> list[str]:
             append_new_signatures_sql(),
             media_groups_ddl(),
             refresh_media_groups_sql(),
+            semantic_cells_ddl(),
+            refresh_semantic_cells_sql(),
         ]
         + expire_runs_sql([run_id])
     )

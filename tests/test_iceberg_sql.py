@@ -128,3 +128,36 @@ def test_media_groups_ddl_matches_live_schema(spark):
     want = {f.name: type_map[f.dataType.simpleString()] for f in live.fields}
     got = _ddl_columns(iceberg.media_groups_ddl())
     assert got == want, f"DDL {got} != live schema {want}"
+
+
+def test_semantic_cells_ddl_matches_live_schema(spark):
+    """semantic_cells DDL is pinned to kmeans_assign's LIVE assignment
+    schema (the frame sample_cluster_balanced and dedup_semdedup consume)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from engine.iceberg import semantic_cells_ddl
+    from engine.trainops import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+    live = kmeans_assign(emb, k=2, iters=2).select("vec_id", "cluster").schema
+    ddl = semantic_cells_ddl()
+    cols = ddl.split("(", 1)[1].split(")")[0]
+    pinned = [c.strip().split() for c in cols.split(",")]
+    spark_names = {"BIGINT": "LongType()", "INT": "IntegerType()"}
+    assert [(f.name, str(f.dataType)) for f in live.fields] == [
+        (name, spark_names[typ]) for name, typ in pinned
+    ]
