@@ -3247,3 +3247,52 @@ def quality_model_score(docs: DataFrame) -> DataFrame:
 )
 def text_quality_model(spark, sf_dir):
     return quality_model_score(load(spark, sf_dir, "documents"))
+
+
+def quality_model_weights(spark: SparkSession) -> DataFrame:
+    """The (bucket → weight) table a LEARNED fastText/LR model ships as —
+    65,536 rows (16-bit hashing trick), one integer weight per bucket.
+    Here the weights are the same frozen Knuth-mix pseudo-weights as
+    _model_token_weight, so the join form and the closed form score
+    identically (locked by test_quality_model_join_matches_closed_form);
+    in production this frame is simply replaced by the trained table."""
+    return spark.range(65_536).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(_KNUTH)) % F.lit(2**32) % F.lit(10_001) - F.lit(5_000))
+        .alias("weight"),
+    )
+
+
+def quality_model_score_join(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """Broadcast-join form of quality_model_score — the shape a real learned
+    model deploys as (the weight table is model output, not an expression):
+    tokenize → explode → 16-bit bucket → BROADCAST hash join against the
+    65k-row weight table → per-doc integer sum.
+
+    Plan shape vs the closed form: the corpus side stays exchange-free up
+    to the join (explode and bucket are row-local on the scan; the weight
+    table broadcasts), then ONE exchange of (doc_id, partial_sum) rows for
+    the re-aggregation — map-side partial sums mean the shuffle carries one
+    small row per (doc, reducer), not one per token.  A/B receipts:
+    BENCH/ab_model_weights_r5.json."""
+    toks = F.split(F.col("text"), " ")
+    ex = docs.select(
+        "doc_id", "source", F.size(toks).alias("n_tokens"), F.explode(toks).alias("tok")
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long").alias("bucket"),
+    )
+    return (
+        ex.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source", "n_tokens")
+        .agg(F.sum("weight").alias("score_sum"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "score_sum",
+            (F.col("score_sum") > 0).alias("kept"),
+        )
+    )

@@ -953,3 +953,23 @@ def test_quality_model_plan_is_exchange_free_and_deterministic(spark):
     again = {r["doc_id"]: (r["score_sum"], r["kept"]) for r in out.collect()}
     assert first == again
     assert {v[1] for v in first.values()} == {True, False}  # discriminates
+
+
+def test_quality_model_join_matches_closed_form(spark):
+    """The broadcast (bucket → weight) join form — the deployment shape of a
+    LEARNED model — must score doc-for-doc identically to the shipped
+    closed-form expression, broadcast the weight table, and keep the corpus
+    side exchange-free up to the join (exactly one exchange total: the
+    per-doc re-aggregation of partial sums)."""
+    docs = trainops.load(spark, SF_DIR, "documents")
+    weights = trainops.quality_model_weights(spark)
+    a = trainops.quality_model_score(docs)
+    b = trainops.quality_model_score_join(docs, weights)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    for bad in _FORBIDDEN:
+        assert bad not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
