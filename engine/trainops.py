@@ -2915,10 +2915,15 @@ def kmeans_assign(
 
 
 def _kmeans_sql_ctes(
-    k: int = _KMEANS_K, iters: int = _KMEANS_ITERS, dims: int = 64
+    k: int = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+    dims: int = 64,
+    src: str = "embeddings",
 ) -> str:
     """The oracle twin of kmeans_assign: unrolled Lloyd CTEs (e, c0,
-    a1, u1, c1, ..., a{iters}); final assignment is a{iters}."""
+    a1, u1, c1, ..., a{iters}); final assignment is a{iters}.  ``src`` is
+    the (vec_id, embedding) table/CTE the fit runs over — "embeddings" for
+    the whole-table queries, a survivors CTE for the filtered composition."""
     assign = """
     a{i} AS (
       SELECT vec_id, cluster FROM (
@@ -2937,7 +2942,7 @@ def _kmeans_sql_ctes(
     parts = [
         f"""
     e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-          FROM embeddings),
+          FROM {src}),
     c0 AS (
       SELECT rn - 1 AS cluster, emb
       FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, emb FROM e)
@@ -2960,6 +2965,28 @@ def _kmeans_sql_ctes(
 )
 def sim_kmeans_assign(spark, sf_dir):
     return kmeans_assign(_emb(spark, sf_dir)).select("vec_id", "cluster")
+
+
+def semdedup_dups(assigned: DataFrame) -> DataFrame:
+    """Within-cell keep-min dup verdicts over a (vec_id, cluster, emb)
+    assignment frame → (vec_id, dup_of) for every flagged vec: a vec is a
+    dup iff a smaller same-cell vec_id sits within cosine _SEMDEDUP_TAU.
+    The pairing is an EQUI-join on cluster (pair counts bounded by cell
+    size ~ n/k).  Pass an ALREADY-truncated frame — it is referenced on
+    both pair sides."""
+    x = assigned.alias("x")
+    y = assigned.alias("y")
+    cos = _cos(F.col("x.emb"), F.col("y.emb"))
+    return (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(cos >= F.lit(_SEMDEDUP_TAU))
+        .groupBy(F.col("y.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("x.vec_id")).alias("dup_of"))
+    )
 
 
 @_local_q(
@@ -2992,19 +3019,7 @@ def dedup_semdedup(spark, sf_dir):
     final verdict join), so it is materialized once via _truncate_lineage
     instead of re-running the k-means fit three times."""
     a2 = _truncate_lineage(kmeans_assign(_emb(spark, sf_dir)))
-    x = a2.alias("x")
-    y = a2.alias("y")
-    cos = _cos(F.col("x.emb"), F.col("y.emb"))
-    dups = (
-        x.join(
-            y,
-            (F.col("x.cluster") == F.col("y.cluster"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .filter(cos >= F.lit(_SEMDEDUP_TAU))
-        .groupBy(F.col("y.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("x.vec_id")).alias("dup_of"))
-    )
+    dups = semdedup_dups(a2)
     return a2.join(dups, "vec_id", "left").select(
         "vec_id",
         "cluster",
@@ -3179,6 +3194,102 @@ def train_corpus_semantic(spark, sf_dir):
         .select(
             "source",
             F.when(F.col("dup"), F.lit("dropped_semantic_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("outcome"),
+        )
+        .groupBy("source", "outcome")
+        .agg(F.count("*").alias("docs"))
+    )
+
+
+@_local_q(
+    "train_corpus_semantic_filtered",
+    "survivor-fitted SemDeDup — the flagship's survivor discipline applied "
+    "to the semantic front: quality window → repetition flags → k-means "
+    "cells FIT ON THE SURVIVORS ONLY → within-cell cosine keep-min verdicts "
+    "→ per-(source, outcome) lineage counts",
+    f"""
+    WITH {_rep_doc_ctes('documents')},
+    labeled AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN len(string_split(d.text, ' ')) NOT BETWEEN 10 AND 500
+                    THEN 'quality'
+                  WHEN {_REP_FLAG_SQL} THEN 'repetition'
+             END AS pre_reason
+      FROM documents d
+      LEFT JOIN bg_doc b USING (doc_id)
+      LEFT JOIN tg_doc t USING (doc_id)
+    ),
+    surv_emb AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN labeled l ON l.doc_id = e.vec_id AND l.pre_reason IS NULL
+    ),
+    {_kmeans_sql_ctes(src='surv_emb')},
+    dups AS (
+      SELECT y.vec_id, min(x.vec_id) AS dup_of
+      FROM a{_KMEANS_ITERS} x
+      JOIN a{_KMEANS_ITERS} y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE {_PAIR_COS_SQL} >= {_SEMDEDUP_TAU}
+      GROUP BY y.vec_id)
+    SELECT l.source,
+           CASE WHEN l.pre_reason IS NOT NULL THEN 'dropped_' || l.pre_reason
+                WHEN dp.vec_id IS NOT NULL THEN 'dropped_semantic_dup'
+                ELSE 'kept' END AS outcome,
+           count(*) AS docs
+    FROM labeled l LEFT JOIN dups dp ON dp.vec_id = l.doc_id
+    GROUP BY l.source, outcome
+    """,
+)
+def train_corpus_semantic_filtered(spark, sf_dir):
+    """Survivor-fitted SemDeDup (the PLANS.md §5a "quality-survivors
+    composition"): the cheap row-local filters run FIRST, and only their
+    survivors reach — and SHAPE — the semantic front.  Fitting the k-means
+    cells on survivors matters beyond cost: degenerate/repetitive docs form
+    dense artificial clusters that drag centroids away from real content
+    (the published SemDeDup pipelines fit after heuristic filtering for
+    exactly this reason).
+
+    Chain: quality token-count window (row-local projection) → Gopher/C4
+    repetition flag (row-local, CaseWhen-short-circuited behind quality) →
+    survivors semi-join the embeddings table (vec_id = doc_id; tiny id
+    frame ships, vectors don't) → kmeans_assign fit+assign on the survivor
+    subset → within-cell cosine keep-min verdicts (semdedup_dups) →
+    per-(source, outcome) lineage counts.  Docs without an embedding cannot
+    be semantically deduped and pass through kept (explicit-domain rule,
+    as train_corpus_semantic).  Precedence is deterministic: quality ≺
+    repetition ≺ semantic-dup ≺ kept."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_tokens = F.size(F.split("text", " "))
+    labeled = d.withColumn(
+        "pre_reason", F.when((n_tokens < 10) | (n_tokens > 500), "quality")
+    ).withColumn(
+        "pre_reason",
+        F.coalesce(
+            F.col("pre_reason"), F.when(repetition_flag_col(), "repetition")
+        ),
+    )
+    # DAG diamond: `labeled` feeds the survivor semi-join AND the final
+    # outcome rollup — truncate once (same rationale as curation_outcomes).
+    labeled = _truncate_lineage(labeled.select("doc_id", "source", "pre_reason"))
+    surv = labeled.filter(F.col("pre_reason").isNull()).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    emb_surv = _emb(spark, sf_dir).join(surv, "vec_id", "semi")
+    assigned = _truncate_lineage(kmeans_assign(emb_surv))
+    dups = semdedup_dups(assigned).select(
+        "vec_id", F.lit(True).alias("sem_dup")
+    )
+    return (
+        labeled.join(dups, labeled["doc_id"] == dups["vec_id"], "left")
+        .select(
+            "source",
+            F.when(
+                F.col("pre_reason").isNotNull(),
+                F.concat(F.lit("dropped_"), F.col("pre_reason")),
+            )
+            .when(F.col("sem_dup"), F.lit("dropped_semantic_dup"))
             .otherwise(F.lit("kept"))
             .alias("outcome"),
         )
