@@ -2855,10 +2855,13 @@ def kmeans_assign(
     - init: the k smallest vec_ids' embeddings, cluster = rank - 1 (the
       4-row sort/limit/window runs on a k-row frame — not a global window).
     - assign: argmin over dot(c,c) - 2*dot(x,c) (the ||x||² term is constant
-      per point), ties broken by cluster id; centroids enter as a BROADCAST
-      k-row frame, so the "cross join" is a map pass over the points — the
-      k× dot-product compute is inherent to k-means assignment, and no
-      point-side data ever shuffles for it.
+      per point), ties broken by cluster id; the k centroids enter as ONE
+      broadcast row carrying array<struct<cluster, c>>, and the argmin is a
+      row-local array_min over per-centroid (score, cluster) structs — a
+      ZERO-EXCHANGE map pass over the points (the k× dot-product compute is
+      inherent to k-means assignment; nothing point-sided shuffles for it).
+      Receipts vs the rejected crossJoin→groupBy argmin, which shuffled
+      every point's embedding per iteration: BENCH/ab_kmeans_k_r5.json.
     - update: per-dimension mean, ROUNDED to 6 decimals — quantization makes
       the next assignment's operands identical across engines regardless of
       each engine's partial-sum order (doubles agree to ~1e-13; the round
@@ -2882,25 +2885,38 @@ def kmeans_assign(
     )
     assigned = None
     for step in range(iters):
-        c = F.broadcast(
-            cents.select("cluster", F.col("emb").alias("c_emb"))
-        )
-        score = _dot(F.col("c_emb"), F.col("c_emb")) - F.lit(2.0) * _dot(
-            F.col("emb"), F.col("c_emb")
-        )
-        assigned = (
-            e.crossJoin(c)
-            .groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        score.alias("s"),
-                        F.col("cluster").alias("cluster"),
-                        F.col("emb").alias("emb"),
-                    )
-                ).alias("m")
+        # ROW-LOCAL argmin: the k centroids are packed into ONE broadcast
+        # row carrying an array<struct<cluster, c>>, and each point takes
+        # array_min over per-centroid (score, cluster) structs — a pure map
+        # pass.  The earlier crossJoin→groupBy(vec_id) form shuffled one
+        # (vec_id, min-struct) row PER POINT — with the embedding inside the
+        # struct, i.e. the whole corpus crossed the wire per iteration — and
+        # min over a struct containing an array forces SortAggregate (plan
+        # receipts + 0.76-0.86× walls at k=4..256 even single-node, where
+        # the shuffle is in-process: BENCH/ab_kmeans_k_r5.json).
+        # Ties can't reach the struct's array field: cluster ids are unique
+        # per packed array, so (s, cluster) already totally orders it.
+        packed = F.broadcast(
+            cents.agg(
+                F.collect_list(
+                    F.struct(F.col("cluster"), F.col("emb").alias("c"))
+                ).alias("cents")
             )
-            .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.emb").alias("emb"))
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(
+                    (
+                        _dot(ct["c"], ct["c"])
+                        - F.lit(2.0) * _dot(F.col("emb"), ct["c"])
+                    ).alias("s"),
+                    ct["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        assigned = e.crossJoin(packed).select(
+            "vec_id", best["cluster"].alias("cluster"), "emb"
         )
         if step < iters - 1:
             ex = assigned.select("cluster", F.posexplode("emb").alias("pos", "x"))
