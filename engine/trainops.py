@@ -3423,3 +3423,187 @@ def quality_model_score_join(docs: DataFrame, weights: DataFrame) -> DataFrame:
             (F.col("score_sum") > 0).alias("kept"),
         )
     )
+
+
+# --- DSIR: data selection with importance resampling -------------------------
+#
+# Xie et al. 2023 (arXiv:2302.03169) — select raw-corpus documents whose
+# hashed-n-gram distribution looks like a TARGET domain: fit two bag-of-
+# hashed-token models (target sample vs raw sample), per-doc importance =
+# sum of per-token log-likelihood ratios, then Gumbel-top-k resampling.
+# This is the data-SELECTION slot of a curation pipeline (the quality model
+# above filters junk; DSIR steers the mixture toward a domain), and it is
+# the natural consumer of the learned-table deployment seam receipted in
+# BENCH/ab_model_weights_r5.json: the (bucket → weight) table here is
+# DATA-DERIVED (two tiny count aggregations), so unlike the frozen quality
+# pseudo-weights it CANNOT be inlined as a closed-form expression — the
+# broadcast-join form is the only correct shape, exactly as §5a concluded.
+#
+# Determinism discipline: weights are quantized to integer 10^-4 nats
+# (ROUND(1e4 * ln-ratio) — the kmeans 6-decimal precedent: both engines'
+# libm ln agree to ~1 ulp, so a 1e-4 grid makes a rounding flip
+# astronomically unlikely), per-doc scores then accumulate as INTEGERS, and
+# the Gumbel noise is the Knuth-hash uniform pushed through -ln(-ln(u)) on
+# the same grid — no rand(), so a task retry or a different engine selects
+# exactly the same documents.
+
+_DSIR_BUCKETS = 4096
+_DSIR_SCALE = 10_000
+
+
+def _dsir_bucket(tok):
+    """Hashed-unigram feature bucket (md5 → 16 bit → mod 4096) — portable
+    arithmetic shared with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long") % F.lit(
+        _DSIR_BUCKETS
+    )
+
+
+def _dsir_token_counts(docs: DataFrame) -> DataFrame:
+    """(bucket, c) hashed-token counts over a document frame — the
+    bag-of-hashed-ngrams "model fit" (tiny: ≤ 4096 rows out)."""
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .select(_dsir_bucket(F.col("tok")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def dsir_weights(spark: SparkSession, target: DataFrame, raw_sample: DataFrame) -> DataFrame:
+    """The DSIR importance model as a (bucket → weight) table: weight_b =
+    round(1e4 * [ln p_target(b) - ln p_raw(b)]) with Laplace smoothing,
+    integer nats×1e-4.  Two tiny groupBys (4096 rows each) + their totals
+    broadcast back onto a dense spark.range(4096) spine — every bucket gets
+    a weight, including unseen ones (the smoothing prior), which is what
+    lets the scorer stay a pure inner join on an exhaustive key space."""
+    tc = target.transform(_dsir_token_counts)
+    rc = raw_sample.transform(_dsir_token_counts)
+    tot = tc.agg(F.sum("c").alias("tt")).crossJoin(rc.agg(F.sum("c").alias("rt")))
+    b = F.lit(_DSIR_BUCKETS).cast("double")
+    lnr = (
+        F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1).cast("double"))
+        - F.log(F.col("tt") + b)
+        - F.log(F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1).cast("double"))
+        + F.log(F.col("rt") + b)
+    )
+    return (
+        spark.range(_DSIR_BUCKETS)
+        .select(F.col("id").alias("bucket"))
+        .join(tc.withColumnRenamed("c", "ct"), "bucket", "left")
+        .join(rc.withColumnRenamed("c", "cr"), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(F.lit(_DSIR_SCALE) * lnr, 0).cast("long").alias("weight"),
+        )
+    )
+
+
+def dsir_score(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """Per-doc DSIR importance: explode tokens → bucket → BROADCAST join the
+    4096-row weight table → integer per-doc sum (one (doc_id, partial_sum)
+    exchange, map-side combined — the quality_model_score_join plan shape).
+    Adds the deterministic Gumbel resampling key: score + round(1e4 *
+    -ln(-ln(u))) with u the Knuth-hash uniform of doc_id."""
+    toks = F.split(F.col("text"), " ")
+    ex = docs.select(
+        "doc_id", "source", F.size(toks).alias("n_tokens"), F.explode(toks).alias("tok")
+    ).select(
+        "doc_id", "source", "n_tokens", _dsir_bucket(F.col("tok")).alias("bucket")
+    )
+    u = (
+        ((F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)) % F.lit(2**32)
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    gumbel = F.round(F.lit(_DSIR_SCALE) * -F.log(-F.log(u)), 0).cast("long")
+    return (
+        ex.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source", "n_tokens")
+        .agg(F.sum("weight").alias("dsir_score"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "dsir_score",
+            (F.col("dsir_score") + gumbel).alias("resample_key"),
+        )
+    )
+
+
+def dsir_select(
+    spark: SparkSession,
+    target: DataFrame,
+    raw_sample: DataFrame,
+    corpus: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: rank the corpus by resample_key
+    (ties broken by doc_id) and keep k documents — globally, via the
+    0-exchange TakeOrdered path (the t1_topk_orders precedent), so no full
+    sort ever materializes.  At 10^12 docs k is large but the shape holds:
+    per-partition top-k then a driver/tree merge of k-row frames."""
+    scored = dsir_score(corpus, dsir_weights(spark, target, raw_sample))
+    return scored.orderBy(F.desc("resample_key"), F.asc("doc_id")).limit(k)
+
+
+@_local_q(
+    "text_dsir_select",
+    "training-data selection — DSIR importance resampling (Xie et al. 2023): "
+    "hashed-unigram log-likelihood-ratio weights fit target-vs-raw (two tiny "
+    "aggs → 4096-row broadcast table), integer per-doc importance, "
+    "deterministic Gumbel-top-k resample",
+    f"""
+    WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 = 1),
+    raws AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 23 <> 1 AND doc_id % 29 = 2),
+    corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 23 <> 1),
+    ttok AS (SELECT (('0x' || substr(md5(t), 1, 4))::BIGINT) % {_DSIR_BUCKETS}
+                      AS bucket
+             FROM tgt, unnest(string_split(text, ' ')) AS u(t)),
+    rtok AS (SELECT (('0x' || substr(md5(t), 1, 4))::BIGINT) % {_DSIR_BUCKETS}
+                      AS bucket
+             FROM raws, unnest(string_split(text, ' ')) AS u(t)),
+    tc AS (SELECT bucket, count(*) AS ct FROM ttok GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS cr FROM rtok GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM ttok) AS tt,
+                   (SELECT count(*) FROM rtok) AS rt),
+    w AS (
+      SELECT b.range AS bucket,
+             CAST(ROUND({_DSIR_SCALE} * (
+                 ln(COALESCE(tc.ct, 0) + 1) - ln(tot.tt + {_DSIR_BUCKETS})
+               - ln(COALESCE(rc.cr, 0) + 1) + ln(tot.rt + {_DSIR_BUCKETS})
+             )) AS BIGINT) AS weight
+      FROM range({_DSIR_BUCKETS}) b
+      LEFT JOIN tc ON tc.bucket = b.range
+      LEFT JOIN rc ON rc.bucket = b.range, tot
+    ),
+    ctok AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             unnest(list_transform(string_split(text, ' '),
+               t -> (('0x' || substr(md5(t), 1, 4))::BIGINT) % {_DSIR_BUCKETS}))
+               AS bucket
+      FROM corpus
+    ),
+    scored AS (
+      SELECT c.doc_id, c.source, c.n_tokens,
+             CAST(SUM(w.weight) AS BIGINT) AS dsir_score
+      FROM ctok c JOIN w USING (bucket)
+      GROUP BY c.doc_id, c.source, c.n_tokens
+    )
+    SELECT doc_id, source, n_tokens, dsir_score,
+           dsir_score + CAST(ROUND({_DSIR_SCALE} * -ln(-ln(
+             (((doc_id % 2147483648) * {_KNUTH}) % 4294967296 + 0.5)
+             / 4294967296.0))) AS BIGINT) AS resample_key
+    FROM scored
+    ORDER BY resample_key DESC, doc_id ASC
+    LIMIT 400
+    """,
+)
+def text_dsir_select(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = d.filter(F.col("doc_id") % 23 == 1)
+    raw_sample = d.filter((F.col("doc_id") % 23 != 1) & (F.col("doc_id") % 29 == 2))
+    corpus = d.filter(F.col("doc_id") % 23 != 1)
+    return dsir_select(spark, target, raw_sample, corpus, k=400)

@@ -973,3 +973,54 @@ def test_quality_model_join_matches_closed_form(spark):
     for bad in _FORBIDDEN:
         assert bad not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_dsir_steers_toward_target_vocab(spark):
+    """DSIR ground truth on a planted corpus: target docs speak vocabulary A,
+    the raw sample speaks vocabulary B — corpus docs written in A must
+    outscore docs written in B, and top-k resampling must select the A-like
+    docs.  (Per-token weights are log-likelihood ratios fit from the two
+    samples, so this is the method's defining behavior, not a tautology of
+    the implementation.)"""
+    import pandas as pd
+
+    a_words = " ".join(f"alpha{j}" for j in range(20))
+    b_words = " ".join(f"zulu{j}" for j in range(20))
+    target = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": i, "source": "t", "text": a_words} for i in range(5)])
+    )
+    raw = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 100 + i, "source": "r", "text": b_words} for i in range(5)])
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [{"doc_id": 200 + i, "source": "c", "text": a_words} for i in range(10)]
+            + [{"doc_id": 300 + i, "source": "c", "text": b_words} for i in range(10)]
+        )
+    )
+    scored = trainops.dsir_score(
+        corpus, trainops.dsir_weights(spark, target, raw)
+    ).collect()
+    by_id = {r["doc_id"]: r["dsir_score"] for r in scored}
+    assert len(by_id) == 20  # every corpus doc scored
+    worst_a = min(by_id[i] for i in range(200, 210))
+    best_b = max(by_id[i] for i in range(300, 310))
+    assert worst_a > 0 > best_b, (worst_a, best_b)
+    top = trainops.dsir_select(spark, target, raw, corpus, k=10).collect()
+    assert sorted(r["doc_id"] for r in top) == list(range(200, 210))
+
+
+def test_dsir_plan_and_determinism(spark):
+    """The scorer must deploy as the learned-table seam: 4096-row weight
+    table BROADCAST into the exploded corpus (no cartesian products, no
+    corpus-side sort), selection via the 0-exchange TakeOrdered path; and
+    re-evaluation must select the identical document set (integer scores +
+    hash Gumbel — no rand())."""
+    q = trainops.text_dsir_select(spark, SF_DIR)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    first = sorted(r["doc_id"] for r in q.collect())
+    again = sorted(r["doc_id"] for r in trainops.text_dsir_select(spark, SF_DIR).collect())
+    assert first == again and len(first) == 400
