@@ -1825,8 +1825,11 @@ def text_fingerprint(spark, sf_dir):
 # End-to-end corpus curation: the nightly 100 TB training-data shape
 # =========================================================================
 
-CURATION_SQL = f"""
-    WITH RECURSIVE aug AS ({_AUG_SQL}),
+# Shared CTE chain for the corpus-curation oracles: augmented corpus →
+# quality/repetition labels → survivor LSH pairs → recursive-CTE CC →
+# per-doc outcome (`outc`).  train_corpus_filtered rolls it up;
+# train_corpus_dsir appends the DSIR selection stage on the kept set.
+_CURATION_CTES = f"""aug AS ({_AUG_SQL}),
     {_rep_doc_ctes('aug')},
     labeled AS (
       SELECT a.doc_id, a.source,
@@ -1855,14 +1858,20 @@ CURATION_SQL = f"""
       UNION
       SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
     ),
-    comp AS (SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a)
-    SELECT l.source,
-           CASE WHEN l.pre_reason IS NOT NULL THEN 'dropped_' || l.pre_reason
-                WHEN c.comp IS NOT NULL AND c.comp <> l.doc_id THEN 'dropped_duplicate'
-                ELSE 'kept' END AS outcome,
-           count(*) AS docs
-    FROM labeled l LEFT JOIN comp c USING (doc_id)
-    GROUP BY l.source, outcome
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+    outc AS (
+      SELECT l.doc_id, l.source,
+             CASE WHEN l.pre_reason IS NOT NULL THEN 'dropped_' || l.pre_reason
+                  WHEN c.comp IS NOT NULL AND c.comp <> l.doc_id
+                    THEN 'dropped_duplicate'
+                  ELSE 'kept' END AS outcome
+      FROM labeled l LEFT JOIN comp c USING (doc_id)
+    )"""
+
+CURATION_SQL = f"""
+    WITH RECURSIVE {_CURATION_CTES}
+    SELECT source, outcome, count(*) AS docs
+    FROM outc GROUP BY source, outcome
 """
 
 
@@ -3547,23 +3556,18 @@ def dsir_select(
     return scored.orderBy(F.desc("resample_key"), F.asc("doc_id")).limit(k)
 
 
-@_local_q(
-    "text_dsir_select",
-    "training-data selection — DSIR importance resampling (Xie et al. 2023): "
-    "hashed-unigram log-likelihood-ratio weights fit target-vs-raw (two tiny "
-    "aggs → 4096-row broadcast table), integer per-doc importance, "
-    "deterministic Gumbel-top-k resample",
-    f"""
-    WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 = 1),
-    raws AS (SELECT doc_id, text FROM documents
-             WHERE doc_id % 23 <> 1 AND doc_id % 29 = 2),
-    corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 23 <> 1),
+def _dsir_sql_ctes(tgt: str, raws: str, corpus: str) -> str:
+    """Oracle-side twin of dsir_weights + dsir_score as a reusable CTE chain
+    (ttok…scored) over CTEs ``tgt``/``raws`` (doc_id, text) and ``corpus``
+    (doc_id, source, text) — shared by text_dsir_select and the curation
+    composition so the two oracles can't drift."""
+    return f"""
     ttok AS (SELECT (('0x' || substr(md5(t), 1, 4))::BIGINT) % {_DSIR_BUCKETS}
                       AS bucket
-             FROM tgt, unnest(string_split(text, ' ')) AS u(t)),
+             FROM {tgt}, unnest(string_split(text, ' ')) AS u(t)),
     rtok AS (SELECT (('0x' || substr(md5(t), 1, 4))::BIGINT) % {_DSIR_BUCKETS}
                       AS bucket
-             FROM raws, unnest(string_split(text, ' ')) AS u(t)),
+             FROM {raws}, unnest(string_split(text, ' ')) AS u(t)),
     tc AS (SELECT bucket, count(*) AS ct FROM ttok GROUP BY bucket),
     rc AS (SELECT bucket, count(*) AS cr FROM rtok GROUP BY bucket),
     tot AS (SELECT (SELECT count(*) FROM ttok) AS tt,
@@ -3584,18 +3588,37 @@ def dsir_select(
              unnest(list_transform(string_split(text, ' '),
                t -> (('0x' || substr(md5(t), 1, 4))::BIGINT) % {_DSIR_BUCKETS}))
                AS bucket
-      FROM corpus
+      FROM {corpus}
     ),
     scored AS (
       SELECT c.doc_id, c.source, c.n_tokens,
              CAST(SUM(w.weight) AS BIGINT) AS dsir_score
       FROM ctok c JOIN w USING (bucket)
       GROUP BY c.doc_id, c.source, c.n_tokens
-    )
-    SELECT doc_id, source, n_tokens, dsir_score,
-           dsir_score + CAST(ROUND({_DSIR_SCALE} * -ln(-ln(
+    )"""
+
+
+# Deterministic Gumbel resample key (doc_id must be in scope):
+# score + round(SCALE * -ln(-ln(u))), u = Knuth-hash uniform of doc_id.
+_DSIR_KEY_SQL = f"""dsir_score + CAST(ROUND({_DSIR_SCALE} * -ln(-ln(
              (((doc_id % 2147483648) * {_KNUTH}) % 4294967296 + 0.5)
-             / 4294967296.0))) AS BIGINT) AS resample_key
+             / 4294967296.0))) AS BIGINT)"""
+
+
+@_local_q(
+    "text_dsir_select",
+    "training-data selection — DSIR importance resampling (Xie et al. 2023): "
+    "hashed-unigram log-likelihood-ratio weights fit target-vs-raw (two tiny "
+    "aggs → 4096-row broadcast table), integer per-doc importance, "
+    "deterministic Gumbel-top-k resample",
+    f"""
+    WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 = 1),
+    raws AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 23 <> 1 AND doc_id % 29 = 2),
+    corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 23 <> 1),
+    {_dsir_sql_ctes('tgt', 'raws', 'corpus')}
+    SELECT doc_id, source, n_tokens, dsir_score,
+           {_DSIR_KEY_SQL} AS resample_key
     FROM scored
     ORDER BY resample_key DESC, doc_id ASC
     LIMIT 400
@@ -3607,3 +3630,81 @@ def text_dsir_select(spark, sf_dir):
     raw_sample = d.filter((F.col("doc_id") % 23 != 1) & (F.col("doc_id") % 29 == 2))
     corpus = d.filter(F.col("doc_id") % 23 != 1)
     return dsir_select(spark, target, raw_sample, corpus, k=400)
+
+
+def train_corpus_dsir_outcomes(spark, sf_dir, k: int = 200) -> DataFrame:
+    """The full modern curation pipeline — FILTER → DEDUP → SELECT — in one
+    verdict frame: the flagship chain's per-doc outcomes (quality window →
+    repetition flags → LSH clusters → keep-min), then DSIR importance
+    resampling OVER THE KEPT SET ONLY (weights fit target-vs-kept, Gumbel
+    top-k), splitting 'kept' into 'selected' / 'kept_not_selected'.
+
+    Selection runs last for the same reason quality runs first in
+    curation_outcomes: DSIR's raw distribution should describe the pool
+    actually being resampled (post-filter, post-dedup — duplicate clusters
+    would otherwise drag the raw model toward their shared vocabulary and
+    distort every weight), and the scoring stage then runs on the smallest
+    possible frame.  The outcome frame is lineage-truncated at its DAG fork
+    (it feeds the raw-sample fit, the scoring pass, and the final rollup)."""
+    out = _truncate_lineage(_curation_outcomes(spark, sf_dir))
+    target = (
+        _augmented(spark, sf_dir)
+        .filter(F.col("doc_id") % 23 == 1)
+        .select("doc_id", "text")
+    )
+    kept = out.filter(F.col("outcome") == "kept")
+    raw_sample = kept.filter(F.col("doc_id") % 29 == 2).select("doc_id", "text")
+    scored = dsir_score(
+        kept.select("doc_id", "source", "text"),
+        dsir_weights(spark, target, raw_sample),
+    )
+    topk = (
+        scored.orderBy(F.desc("resample_key"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return out.join(topk, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.when(F.col("outcome") != "kept", F.col("outcome"))
+        .when(F.col("sel").isNotNull(), F.lit("selected"))
+        .otherwise(F.lit("kept_not_selected"))
+        .alias("outcome"),
+    )
+
+
+@_local_q(
+    "train_corpus_dsir",
+    "END-TO-END curation + SELECTION: the flagship filter/dedup chain, then "
+    "DSIR importance resampling over the kept set (weights fit "
+    "target-vs-kept, deterministic Gumbel-top-k) — per-(source, outcome) "
+    "counts with kept split into selected / kept_not_selected",
+    f"""
+    WITH RECURSIVE {_CURATION_CTES},
+    tgt AS (SELECT doc_id, text FROM aug WHERE doc_id % 23 = 1),
+    kept AS (
+      SELECT o.doc_id, o.source, a.text
+      FROM outc o JOIN aug a USING (doc_id) WHERE o.outcome = 'kept'
+    ),
+    raws AS (SELECT doc_id, text FROM kept WHERE doc_id % 29 = 2),
+    {_dsir_sql_ctes('tgt', 'raws', 'kept')},
+    sel AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, {_DSIR_KEY_SQL} AS rk FROM scored
+      ) ORDER BY rk DESC, doc_id ASC LIMIT 200
+    )
+    SELECT source, outcome, count(*) AS docs FROM (
+      SELECT o.source,
+             CASE WHEN o.outcome <> 'kept' THEN o.outcome
+                  WHEN s.doc_id IS NOT NULL THEN 'selected'
+                  ELSE 'kept_not_selected' END AS outcome
+      FROM outc o LEFT JOIN sel s USING (doc_id)
+    ) GROUP BY source, outcome
+    """,
+)
+def train_corpus_dsir(spark, sf_dir):
+    return (
+        train_corpus_dsir_outcomes(spark, sf_dir)
+        .groupBy("source", "outcome")
+        .agg(F.count("*").alias("docs"))
+    )

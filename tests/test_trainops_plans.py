@@ -1024,3 +1024,36 @@ def test_dsir_plan_and_determinism(spark):
     first = sorted(r["doc_id"] for r in q.collect())
     again = sorted(r["doc_id"] for r in trainops.text_dsir_select(spark, SF_DIR).collect())
     assert first == again and len(first) == 400
+
+
+def test_dsir_curation_selects_within_kept_and_partitions(spark):
+    """train_corpus_dsir invariants: outcomes PARTITION the corpus (every
+    doc gets exactly one), 'selected' totals exactly k (the kept pool
+    exceeds k at sf0.01), selection only ever splits the kept set (drop
+    counts match the flagship chain), and re-evaluation is deterministic."""
+    out = trainops.train_corpus_dsir_outcomes(spark, SF_DIR)
+    per_doc = out.groupBy("doc_id").count().filter("count > 1").count()
+    assert per_doc == 0
+    counts = {
+        (r["source"], r["outcome"]): r["docs"]
+        for r in trainops.train_corpus_dsir(spark, SF_DIR).collect()
+    }
+    n_aug = trainops._augmented(spark, SF_DIR).count()
+    assert sum(counts.values()) == n_aug
+    assert sum(v for (s, o), v in counts.items() if o == "selected") == 200
+    base = {
+        (r["source"], r["outcome"]): r["docs"]
+        for r in trainops.train_corpus_filtered(spark, SF_DIR).collect()
+    }
+    for (s, o), v in base.items():
+        if o != "kept":
+            assert counts.get((s, o)) == v, (s, o, v, counts.get((s, o)))
+        else:
+            sel = counts.get((s, "selected"), 0)
+            rest = counts.get((s, "kept_not_selected"), 0)
+            assert sel + rest == v, (s, v, sel, rest)
+    again = {
+        (r["source"], r["outcome"]): r["docs"]
+        for r in trainops.train_corpus_dsir(spark, SF_DIR).collect()
+    }
+    assert counts == again
