@@ -258,7 +258,11 @@ def f6_rlike_filter(spark, sf_dir):
     )
 
 
-@_q(
+@_local_q(  # retired to the local registry end-r5 (slot ceded to
+    # text_dsir_select, the suite's only data-selection operator).  F8's
+    # coercion path stays driver-attested through the table-parse flagships:
+    # coerce_price runs inside a5_footer_total_guard (parse.py:330) and the
+    # x_table_parse_service item columns.  Same precedent as f2/f3/f20.
     "f8_price_coercion",
     "F8 — dirty-number cleanup + cast (table_parser.py:130-135,228-234)",
     """

@@ -3605,7 +3605,8 @@ _DSIR_KEY_SQL = f"""dsir_score + CAST(ROUND({_DSIR_SCALE} * -ln(-ln(
              / 4294967296.0))) AS BIGINT)"""
 
 
-@_local_q(
+@_q(  # driver-window since end-r5 (slot freed by f8_price_coercion):
+    # the suite's only data-selection / importance-resampling operator
     "text_dsir_select",
     "training-data selection — DSIR importance resampling (Xie et al. 2023): "
     "hashed-unigram log-likelihood-ratio weights fit target-vs-raw (two tiny "

@@ -46,6 +46,7 @@ def test_registry_fits_driver_window():
         "x_audit_documents",
         "x_audit_media_pixels",
         "text_repetition",
+        "text_dsir_select",
     ):
         assert must in names[:DRIVER_QUERY_CAP], f"{must} evicted from driver window"
 
