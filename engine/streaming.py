@@ -214,6 +214,40 @@ def stream_dedup_media(
     )
 
 
+def stream_curate(
+    doc_stream: DataFrame, watermark: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """The ingest-time curation front: the ROW-LOCAL subset of
+    trainops.curation_outcomes applied to a document stream, then
+    bounded-state exact dedup.
+
+    Division of labor with the nightly batch chain (the same split as the
+    dedup fronts): quality window and Gopher repetition flag are row-local
+    Column expressions — trainops.repetition_flag_col, shared verbatim with
+    the batch chain so a doc gets the SAME verdict at ingest as it would
+    overnight — so they run inside the stream's scan with no state at all;
+    exact duplicates are dropped within the watermark horizon
+    (dropDuplicatesWithinWatermark, state ~ rate × watermark); the
+    cross-doc stages that need global state (LSH clusters, connected
+    components, keep-min election) stay in the nightly batch
+    train_corpus_filtered pass, which also re-admits anything a watermark
+    horizon let through.  Output: the surviving (curated-front) docs."""
+    from pyspark.sql import functions as F
+
+    from engine.trainops import repetition_flag_col
+
+    n_tokens = F.size(F.split("text", " "))
+    labeled = doc_stream.withColumn(
+        "pre_reason",
+        F.coalesce(
+            F.when((n_tokens < 10) | (n_tokens > 500), "quality"),
+            F.when(repetition_flag_col(), "repetition"),
+        ),
+    )
+    kept = labeled.filter(F.col("pre_reason").isNull()).drop("pre_reason")
+    return stream_dedup_exact(kept, watermark=watermark, ts_col=ts_col)
+
+
 def stream_extraction(
     spark: SparkSession,
     spans_source_dir: str,

@@ -350,3 +350,87 @@ def test_stream_dedup_media_across_microbatches(spark, tmp_path):
     kept = {r["media_ref"]: r for r in spark.read.parquet(str(out)).collect()}
     assert set(kept) == {"a1", "b1", "c1"}  # first arrival per content class
     assert kept["a1"]["feats"]["title_text"] == "كشف تفاصيل الخدمات"
+
+
+def test_stream_curate_matches_batch_rowlocal_verdicts(spark, tmp_path):
+    """The ingest curation front must (a) drop quality/repetition failures
+    with the SAME row-local verdicts the batch chain computes (shared
+    repetition_flag_col expression), (b) collapse cross-batch exact dups to
+    first arrivals, and (c) pass every clean unique doc through."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.streaming import stream_curate
+
+    # 40 distinct tokens: enough that the all-distinct top-bigram ratio
+    # (1/39) sits under the 5% Gopher threshold — a 20-token doc would
+    # trivially trip it (1/19 = 5.3%)
+    ok = lambda i: " ".join(f"w{i}x{j}" for j in range(40))  # noqa: E731
+    long_text = "w " * 599 + "w"          # 600 tokens → quality fail
+    loop_text = "spam ham " * 50 + "end"  # top-bigram ratio → repetition fail
+    files = [
+        [("d0", "2026-01-01 10:00:00", ok(0)), ("d1", "2026-01-01 10:01:00", long_text)],
+        [("d2", "2026-01-01 10:02:00", ok(0)), ("d3", "2026-01-01 10:03:00", loop_text),
+         ("d4", "2026-01-01 10:04:00", ok(4))],
+        [("d5", "2026-01-01 10:05:00", ok(5)), ("d6", "2026-01-01 10:06:00", ok(4))],
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    pa_schema = pa.schema(
+        [("doc_id", pa.string()), ("ts", pa.string()), ("text", pa.string())]
+    )
+    cols = ["doc_id", "ts", "text"]
+    for i, rows in enumerate(files):
+        path = src / f"part-{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist([dict(zip(cols, r)) for r in rows], schema=pa_schema),
+            path,
+        )
+        t = _time.time() - 100 + i * 10  # pin arrival order (see dedup test)
+        os.utime(path, (t, t))
+
+    batch = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "kept"
+    q = (
+        stream_curate(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt-curate"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(out)).collect()}
+    # d1 (quality), d3 (repetition) dropped at the scan; d2 (dup of d0) and
+    # d6 (dup of d4) dropped by the watermark state; d0/d4/d5 survive
+    assert set(kept) == {"d0", "d4", "d5"}, kept
+    # verdict parity with the batch chain's row-local stages: the same rows
+    # pushed through curation_outcomes get pre_reason != NULL exactly for
+    # the streamed drops that were VERDICT drops (not dedup drops)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine import trainops
+
+    flat = [dict(zip(cols, r)) for f in files for r in f]
+    aug = spark.createDataFrame(pd.DataFrame(flat)).select(
+        F.col("doc_id"), F.lit("s").alias("source"), F.col("text")
+    )
+    outcomes = {
+        r["doc_id"]: r["outcome"]
+        for r in trainops.curation_outcomes(aug).collect()
+    }
+    assert outcomes["d1"] == "dropped_quality"
+    assert outcomes["d3"] == "dropped_repetition"
+    for d in ("d0", "d4", "d5"):
+        assert outcomes[d] in ("kept", "dropped_duplicate")
