@@ -2860,6 +2860,20 @@ def kmeans_assign(
     emb: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
 ) -> DataFrame:
     """Deterministic fixed-iteration Lloyd k-means → (vec_id, cluster, emb).
+    See kmeans_fit for the algorithm; this keeps the original single-frame
+    API every SemDeDup-family consumer uses."""
+    assigned, _ = kmeans_fit(emb, k=k, iters=iters)
+    return assigned
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic fixed-iteration Lloyd k-means → ((vec_id, cluster, emb),
+    (cluster, emb) centroids) — the centroid frame is the one the FINAL
+    assignment ran against (what ADC distance tables must be built from;
+    recomputing means from the final assignment would give the NEXT
+    iteration's centroids, not these).
 
     - init: the k smallest vec_ids' embeddings, cluster = rank - 1 (the
       4-row sort/limit/window runs on a k-row frame — not a global window).
@@ -2936,7 +2950,7 @@ def kmeans_assign(
                     lambda s: s["v"],
                 ).alias("emb")
             )
-    return assigned
+    return assigned, cents
 
 
 def _kmeans_sql_ctes(
@@ -2944,37 +2958,43 @@ def _kmeans_sql_ctes(
     iters: int = _KMEANS_ITERS,
     dims: int = 64,
     src: str = "embeddings",
+    prefix: str = "",
 ) -> str:
-    """The oracle twin of kmeans_assign: unrolled Lloyd CTEs (e, c0,
-    a1, u1, c1, ..., a{iters}); final assignment is a{iters}.  ``src`` is
+    """The oracle twin of kmeans_fit: unrolled Lloyd CTEs ({p}e, {p}c0,
+    {p}a1, {p}u1, {p}c1, ..., {p}a{iters}); final assignment is
+    {p}a{iters}, the centroids it ran against {p}c{iters-1}.  ``src`` is
     the (vec_id, embedding) table/CTE the fit runs over — "embeddings" for
-    the whole-table queries, a survivors CTE for the filtered composition."""
-    assign = """
-    a{i} AS (
+    the whole-table queries, a survivors CTE for the filtered composition,
+    per-subspace slices for PQ (``prefix`` keeps the M chains' CTE names
+    disjoint inside one WITH)."""
+    p = prefix
+    assign = f"""
+    {p}a{{i}} AS (
       SELECT vec_id, cluster FROM (
         SELECT e.vec_id, c.cluster,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY list_dot_product(c.emb, c.emb)
                           - 2 * list_dot_product(e.emb, c.emb),
                           c.cluster) AS rn
-        FROM e, {prev} c) WHERE rn = 1)"""
-    update = """
-    u{i} AS (
+        FROM {p}e e, {{prev}} c) WHERE rn = 1)"""
+    update = f"""
+    {p}u{{i}} AS (
       SELECT a.cluster, t.i AS pos, round(avg(e.emb[t.i]), 6) AS v
-      FROM a{i} a JOIN e USING (vec_id) CROSS JOIN range(1, {hi}) t(i)
+      FROM {p}a{{i}} a JOIN {p}e e USING (vec_id) CROSS JOIN range(1, {{hi}}) t(i)
       GROUP BY a.cluster, t.i),
-    c{i} AS (SELECT cluster, list(v ORDER BY pos) AS emb FROM u{i} GROUP BY cluster)"""
+    {p}c{{i}} AS (SELECT cluster, list(v ORDER BY pos) AS emb
+                  FROM {p}u{{i}} GROUP BY cluster)"""
     parts = [
         f"""
-    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+    {p}e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
           FROM {src}),
-    c0 AS (
+    {p}c0 AS (
       SELECT rn - 1 AS cluster, emb
-      FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, emb FROM e)
+      FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, emb FROM {p}e)
       WHERE rn <= {k})"""
     ]
     for i in range(1, iters + 1):
-        parts.append(assign.format(i=i, prev=f"c{i - 1}"))
+        parts.append(assign.format(i=i, prev=f"{p}c{i - 1}"))
         if i < iters:
             parts.append(update.format(i=i, hi=dims + 1))
     return ",".join(parts)
@@ -3709,3 +3729,147 @@ def train_corpus_dsir(spark, sf_dir):
         .groupBy("source", "outcome")
         .agg(F.count("*").alias("docs"))
     )
+
+
+# --- Product quantization (PQ) + asymmetric distance (ADC) ANN ---------------
+#
+# The FAISS IVF-PQ compressed-domain slot (Jégou et al. 2011, "Product
+# quantization for nearest neighbor search"): split the D-dim embedding into
+# M subspaces, vector-quantize each sub-vector against a per-subspace
+# codebook (the deterministic kmeans_fit), store only the M small codes, and
+# rank candidates with ADC — the query builds one (M × K) table of
+# query-slice·codeword dot products and every candidate's approximate inner
+# product is M table lookups, no float vector ever touched.  At 10^12 docs
+# this is THE memory lever: 64 float32 dims (256 B) become M=8 byte codes,
+# and the scoring pass reads codes + one broadcast table.  Here M=4, K=4
+# keeps the oracle's unrolled Lloyd CTEs tractable; production uses K=256
+# (8-bit codes) with the identical plan shape.
+
+_PQ_M = 4
+_PQ_K = 4
+_PQ_DIMS = 64
+
+
+def pq_encode(
+    emb: DataFrame, m: int = _PQ_M, k: int = _PQ_K, dims: int = _PQ_DIMS
+) -> tuple[DataFrame, list[DataFrame]]:
+    """PQ codebooks + codes: per subspace, kmeans_fit on the dim slice →
+    (vec_id, code_0..code_{m-1}) plus the M centroid frames the codes were
+    assigned against.  Each fit's assignment is the zero-exchange broadcast
+    map pass (see kmeans_fit); the M thin (vec_id, code) frames then
+    equi-join on vec_id.  At production scale the codebooks are fit on a
+    sample offline and the M argmins fuse into one map pass over one scan —
+    the M-pass form here keeps the fit itself on-frame and oracle-checkable."""
+    d_sub = dims // m
+    codes, cents = None, []
+    for i in range(m):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", i * d_sub + 1, d_sub).alias("embedding")
+        )
+        assigned, c = kmeans_fit(sub, k=k)
+        ci = assigned.select("vec_id", F.col("cluster").alias(f"code_{i}"))
+        codes = ci if codes is None else codes.join(ci, "vec_id")
+        cents.append(c)
+    return codes, cents
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n: int = 10,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    dims: int = _PQ_DIMS,
+) -> DataFrame:
+    """ADC top-n for query vec_id=0 over PQ codes: M per-subspace lookup
+    maps (cluster → query-slice·codeword, each ≤ k entries) are packed into
+    ONE broadcast row; every candidate's approximate inner product is then
+    M row-local map lookups over its codes — the corpus side never touches
+    a float vector after encoding, and the cut is the 0-exchange
+    TakeOrdered path.  Scores are bit-identical across engines: quantized
+    centroids (round-6 means), fixed left-fold dot products, fixed t_0+…+
+    t_{M-1} addition order."""
+    d_sub = dims // m
+    codes, cents = pq_encode(emb, m=m, k=k, dims=dims)
+    q = emb.filter(F.col("vec_id") == 0)
+    packed = None
+    for i, c in enumerate(cents):
+        qi = q.select(
+            F.transform(
+                F.slice("embedding", i * d_sub + 1, d_sub),
+                lambda x: x.cast("double"),
+            ).alias("q")
+        )
+        ti = (
+            c.crossJoin(F.broadcast(qi))
+            .select("cluster", _dot(F.col("emb"), F.col("q")).alias("t"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("cluster", "t"))
+                ).alias(f"t_{i}")
+            )
+        )
+        packed = ti if packed is None else packed.crossJoin(ti)
+    score = F.element_at(F.col("t_0"), F.col("code_0"))
+    for i in range(1, m):
+        score = score + F.element_at(F.col(f"t_{i}"), F.col(f"code_{i}"))
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(packed))
+        .select("vec_id", score.alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(n)
+        .select("vec_id", F.round("s", 6).alias("pq_score"))
+    )
+
+
+def _pq_sql(n: int = 10) -> str:
+    """Oracle twin of pq_adc_topk over the embeddings table: M prefixed
+    Lloyd chains on dim slices, per-subspace ADC tables from the final
+    centroid CTEs, code joins, fixed-order sum, top-n."""
+    d_sub = _PQ_DIMS // _PQ_M
+    parts, joins = [], []
+    for i in range(_PQ_M):
+        lo, hi = i * d_sub + 1, (i + 1) * d_sub
+        parts.append(
+            f"sub{i} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
+            f"FROM embeddings)"
+        )
+        parts.append(
+            _kmeans_sql_ctes(k=_PQ_K, dims=d_sub, src=f"sub{i}", prefix=f"s{i}")
+        )
+        parts.append(
+            f"q{i} AS (SELECT list_transform(embedding[{lo}:{hi}], "
+            f"x -> x::DOUBLE) AS q FROM embeddings WHERE vec_id = 0)"
+        )
+        parts.append(
+            f"t{i} AS (SELECT c.cluster, list_dot_product(c.emb, q.q) AS t "
+            f"FROM s{i}c{_KMEANS_ITERS - 1} c, q{i} q)"
+        )
+        joins.append(
+            f"JOIN s{i}a{_KMEANS_ITERS} x{i} USING (vec_id) "
+            f"JOIN t{i} ON t{i}.cluster = x{i}.cluster"
+        )
+    ctes = ",\n    ".join(parts)
+    join_sql = "\n      ".join(joins)
+    return f"""
+    WITH {ctes},
+    scored AS (
+      SELECT v.vec_id, t0.t + t1.t + t2.t + t3.t AS s
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id <> 0) v
+      {join_sql}
+    )
+    SELECT vec_id, round(s, 6) AS pq_score FROM scored
+    ORDER BY s DESC, vec_id LIMIT {n}
+    """
+
+
+@_local_q(
+    "sim_pq_topk",
+    "similarity search — product quantization + ADC (Jégou et al. 2011, the "
+    "FAISS IVF-PQ compressed-domain slot): per-subspace deterministic "
+    "codebooks, M-byte codes, query-side lookup table, approximate "
+    "inner-product top-k without touching a float vector",
+    _pq_sql(),
+)
+def sim_pq_topk(spark, sf_dir):
+    return pq_adc_topk(_emb(spark, sf_dir))

@@ -1057,3 +1057,44 @@ def test_dsir_curation_selects_within_kept_and_partitions(spark):
         for r in trainops.train_corpus_dsir(spark, SF_DIR).collect()
     }
     assert counts == again
+
+
+def test_pq_adc_exact_on_reconstructible_corpus(spark):
+    """PQ ground truth: on a corpus whose sub-vectors take exactly K=4
+    prototype values per subspace (all float-exact decimals, so quantized
+    centroid means are the prototypes themselves), PQ reconstruction is
+    lossless and the ADC score must equal the EXACT inner product with the
+    query for every vector — the defining identity of the method, covering
+    codebook fit, encoding, table build and lookup end-to-end."""
+    import pandas as pd
+
+    protos = [
+        [1.0] * 16,
+        [2.0] * 16,
+        [-1.25] * 16,
+        [0.5] * 16,
+    ]
+    rows = []
+    for j in range(20):
+        v = []
+        for i in range(4):  # subspace i uses prototype (j + i) % 4
+            v.extend(protos[(j + i) % 4])
+        rows.append({"vec_id": j, "embedding": v})
+    emb = spark.createDataFrame(pd.DataFrame(rows), "vec_id: long, embedding: array<float>")
+    got = {r["vec_id"]: r["pq_score"] for r in trainops.pq_adc_topk(emb, n=19).collect()}
+    q = rows[0]["embedding"]
+    exact = {
+        r["vec_id"]: round(sum(a * b for a, b in zip(q, r["embedding"])), 6)
+        for r in rows[1:]
+    }
+    assert got == exact
+
+
+def test_pq_plan_uses_codes_not_vectors(spark):
+    """The ADC scoring side must be the compressed-domain shape: broadcast
+    lookup row into the codes frame (no cartesian product, no corpus-side
+    embedding column past the encode), cut via TakeOrderedAndProject."""
+    df = trainops.sim_pq_topk(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
