@@ -72,6 +72,9 @@ HEADLINE = [
     # + strip; COVERAGE.md carries its cost decomposition): totals again
     # not comparable to earlier rounds, compare per-query
     "x_curate_interleaved_spans",
+    # added end-r5 (DSIR data selection — fit + broadcast-table score +
+    # Gumbel-top-k); totals not comparable, compare per-query
+    "text_dsir_select",
 ]
 
 BENCH_SEED = 1234

@@ -3779,6 +3779,7 @@ def pq_adc_topk(
     m: int = _PQ_M,
     k: int = _PQ_K,
     dims: int = _PQ_DIMS,
+    coarse: str | None = None,
 ) -> DataFrame:
     """ADC top-n for query vec_id=0 over PQ codes: M per-subspace lookup
     maps (cluster → query-slice·codeword, each ≤ k entries) are packed into
@@ -3791,6 +3792,18 @@ def pq_adc_topk(
     d_sub = dims // m
     codes, cents = pq_encode(emb, m=m, k=k, dims=dims)
     q = emb.filter(F.col("vec_id") == 0)
+    if coarse is not None:
+        # IVF-PQ: probe only the query's coarse cell — candidates are the
+        # codes of vectors sharing the query's coarse id (a thin equi-join
+        # of the codes frame with the (vec_id, coarse) projection), so the
+        # scan-and-score set shrinks by the cell count BEFORE any lookup.
+        qc = F.broadcast(q.select(F.col(coarse).alias("q_coarse")))
+        codes = (
+            codes.join(emb.select("vec_id", coarse), "vec_id")
+            .crossJoin(qc)
+            .filter(F.col(coarse) == F.col("q_coarse"))
+            .drop(coarse, "q_coarse")
+        )
     packed = None
     for i, c in enumerate(cents):
         qi = q.select(
@@ -3822,10 +3835,11 @@ def pq_adc_topk(
     )
 
 
-def _pq_sql(n: int = 10) -> str:
+def _pq_sql(n: int = 10, coarse: str | None = None) -> str:
     """Oracle twin of pq_adc_topk over the embeddings table: M prefixed
     Lloyd chains on dim slices, per-subspace ADC tables from the final
-    centroid CTEs, code joins, fixed-order sum, top-n."""
+    centroid CTEs, code joins, fixed-order sum, top-n; ``coarse`` adds the
+    IVF probe filter (candidates share the query's coarse cell)."""
     d_sub = _PQ_DIMS // _PQ_M
     parts, joins = [], []
     for i in range(_PQ_M):
@@ -3851,11 +3865,17 @@ def _pq_sql(n: int = 10) -> str:
         )
     ctes = ",\n    ".join(parts)
     join_sql = "\n      ".join(joins)
+    probe = (
+        f"AND {coarse} = (SELECT {coarse} FROM embeddings WHERE vec_id = 0)"
+        if coarse
+        else ""
+    )
     return f"""
     WITH {ctes},
     scored AS (
       SELECT v.vec_id, t0.t + t1.t + t2.t + t3.t AS s
-      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id <> 0) v
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            WHERE vec_id <> 0 {probe}) v
       {join_sql}
     )
     SELECT vec_id, round(s, 6) AS pq_score FROM scored
@@ -3873,3 +3893,15 @@ def _pq_sql(n: int = 10) -> str:
 )
 def sim_pq_topk(spark, sf_dir):
     return pq_adc_topk(_emb(spark, sf_dir))
+
+
+@_local_q(
+    "sim_ivfpq_topk",
+    "similarity search — IVF-PQ (the full FAISS index shape): probe only "
+    "the query's coarse cell, then ADC-rank its members over PQ codes — "
+    "coarse pruning cuts the candidate set, compression cuts what scoring "
+    "reads; no float vector touched after encoding",
+    _pq_sql(coarse="label"),
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    return pq_adc_topk(_emb(spark, sf_dir), coarse="label")

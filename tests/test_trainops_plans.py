@@ -1098,3 +1098,23 @@ def test_pq_plan_uses_codes_not_vectors(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_ivfpq_probes_only_query_cell(spark):
+    """IVF-PQ results must be exactly the PQ ranking restricted to the
+    query's coarse cell: every returned vec shares the query's label, and
+    the scores agree with the unrestricted ADC scores for those vecs."""
+    full = {
+        r["vec_id"]: r["pq_score"]
+        for r in trainops.pq_adc_topk(
+            trainops._emb(spark, SF_DIR), n=10_000
+        ).collect()
+    }
+    ivf = trainops.sim_ivfpq_topk(spark, SF_DIR).collect()
+    emb = trainops.load(spark, SF_DIR, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    q_label = labels[0]
+    assert len(ivf) == 10
+    for r in ivf:
+        assert labels[r["vec_id"]] == q_label
+        assert full[r["vec_id"]] == r["pq_score"]
