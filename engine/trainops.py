@@ -3905,3 +3905,165 @@ def sim_pq_topk(spark, sf_dir):
 )
 def sim_ivfpq_topk(spark, sf_dir):
     return pq_adc_topk(_emb(spark, sf_dir), coarse="label")
+
+
+# --- CCNet-style LM perplexity filter ----------------------------------------
+#
+# Wenzek et al. 2020 (CCNet): score every document with a language model
+# trained on a clean reference corpus (their KenLM-on-Wikipedia), bucket by
+# perplexity, keep the low-perplexity head.  Deterministic in-sandbox
+# stand-in with the real plan shape: the "LM" is an add-one-smoothed BIGRAM
+# model over hashed token buckets fit on a reference slice of the corpus —
+# per-pair cost -ln P(w_i | w_{i-1}) decomposes as
+#   ln(c1[b1] + B) - ln(c2[b1,b2] + 1)
+# so the model ships as TWO tables (the learned-table seam again): a dense
+# 4096-row unigram table A[b1] = round(1e4·ln(c1+B)) and a sparse bigram
+# table C[pk] = round(1e4·ln(c2+1)) keyed by pk = b1·B + b2 (only seen
+# bigrams — unseen lookups fall back to 0 = ln(0+1), which is exactly the
+# smoothing's miss cost).  Per-doc cost is then an INTEGER sum over the
+# doc's adjacent-pair keys via two broadcast hash joins; c2 ≤ c1 guarantees
+# every pair cost ≥ 0.  Buckets use FIXED thresholds (CCNet ships
+# precomputed per-language cutoffs the same way); production swaps the two
+# tables for a real KenLM's and nothing else changes.
+
+# Fixed bucket cutoffs ≈ the corpus terciles at sf0.01 (avg pair cost in
+# 1e-4 nats; measured 71.8k-80.5k, terciles 77.3k/77.9k) — CCNet ships
+# precomputed per-language cutoffs exactly like this; re-derive offline
+# when the reference model changes.
+_LM_T_HEAD = 77_300  # avg pair cost below → 'head'
+_LM_T_MIDDLE = 77_900  # below → 'middle'; else 'tail'
+
+
+def _lm_pair_keys():
+    """Row-local adjacent-bucket pair keys pk = b1·B + b2 over `text` —
+    empty for <2-token docs (the sequence() backwards guard, as _shingles)."""
+    return _let(
+        F.transform(F.split(F.col("text"), " "), _dsir_bucket),
+        lambda bs: F.when(
+            F.size(bs) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(bs) - 2),
+                lambda i: bs[i] * F.lit(_DSIR_BUCKETS) + bs[i + 1],
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+
+
+def lm_perplexity(corpus: DataFrame, reference: DataFrame) -> DataFrame:
+    """Per-doc LM cost + CCNet bucket: fit the hashed-bigram model on
+    ``reference`` (two tiny groupBys → the A/C weight tables), score every
+    ``corpus`` doc as an integer pair-cost sum (explode pair keys → two
+    BROADCAST joins → one (doc_id, partial-sum) exchange), bucket by fixed
+    thresholds.  Every corpus doc appears: <2-token docs carry NULL
+    cost/avg and NULL bucket (the repetition_flags explicit-domain rule)."""
+    b = F.lit(_DSIR_BUCKETS)
+    ref_toks = reference.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select(_dsir_bucket(F.col("tok")).alias("b1"))
+    a_table = (
+        corpus.sparkSession.range(_DSIR_BUCKETS)
+        .select(F.col("id").alias("b1"))
+        .join(ref_toks.groupBy("b1").agg(F.count("*").alias("c1")), "b1", "left")
+        .select(
+            "b1",
+            F.round(
+                F.lit(_DSIR_SCALE)
+                * F.log(F.coalesce(F.col("c1"), F.lit(0)) + b.cast("double"))
+            , 0).cast("long").alias("a_w"),
+        )
+    )
+    c_table = (
+        reference.select(F.explode(_lm_pair_keys()).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("c2"))
+        .select(
+            "pk",
+            F.round(
+                F.lit(_DSIR_SCALE) * F.log(F.col("c2") + F.lit(1).cast("double")), 0
+            ).cast("long").alias("c_w"),
+        )
+    )
+    pairs = corpus.select("doc_id", F.explode(_lm_pair_keys()).alias("pk")).select(
+        "doc_id", "pk", F.floor(F.col("pk") / b).cast("long").alias("b1")
+    )
+    costs = (
+        pairs.join(F.broadcast(a_table), "b1")
+        .join(F.broadcast(c_table), "pk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("a_w") - F.coalesce(F.col("c_w"), F.lit(0))).alias("lm_cost"),
+        )
+    )
+    avg = F.expr("lm_cost div n_pairs")
+    return (
+        corpus.select("doc_id", "source")
+        .join(costs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_pairs",
+            "lm_cost",
+            avg.alias("avg_cost"),
+            F.when(avg < _LM_T_HEAD, "head")
+            .when(avg < _LM_T_MIDDLE, "middle")
+            .when(avg.isNotNull(), "tail")
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+_LM_BUCKET_SQL = f"(('0x' || substr(md5(t), 1, 4))::BIGINT) % {_DSIR_BUCKETS}"
+
+_LM_PAIRS_SQL = f"""
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(bs) - 1),
+               i -> bs[i] * {_DSIR_BUCKETS} + bs[i+1])) AS pk
+      FROM (SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  t -> {_LM_BUCKET_SQL}) AS bs
+            FROM {{src}})
+      WHERE len(bs) >= 2
+"""
+
+
+@_local_q(
+    "text_lm_perplexity",
+    "training-data quality — CCNet-style LM perplexity filter (Wenzek et "
+    "al. 2020): hashed-bigram reference model as two broadcast weight "
+    "tables, integer per-doc cost sum, fixed-threshold head/middle/tail "
+    "buckets",
+    f"""
+    WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 = 3),
+    rt AS (SELECT {_LM_BUCKET_SQL} AS b1
+           FROM ref, unnest(string_split(text, ' ')) AS u(t)),
+    c1 AS (SELECT b1, count(*) AS c FROM rt GROUP BY b1),
+    a_t AS (
+      SELECT b.range AS b1,
+             CAST(ROUND({_DSIR_SCALE} * ln(COALESCE(c1.c, 0)
+                                           + {_DSIR_BUCKETS})) AS BIGINT) AS a_w
+      FROM range({_DSIR_BUCKETS}) b LEFT JOIN c1 ON c1.b1 = b.range),
+    rp AS ({_LM_PAIRS_SQL.format(src='ref')}),
+    c_t AS (
+      SELECT pk, CAST(ROUND({_DSIR_SCALE} * ln(count(*) + 1)) AS BIGINT) AS c_w
+      FROM rp GROUP BY pk),
+    cp AS ({_LM_PAIRS_SQL.format(src='documents')}),
+    costs AS (
+      SELECT cp.doc_id, count(*) AS n_pairs,
+             CAST(SUM(a_t.a_w - COALESCE(c_t.c_w, 0)) AS BIGINT) AS lm_cost
+      FROM cp
+      JOIN a_t ON a_t.b1 = cp.pk // {_DSIR_BUCKETS}
+      LEFT JOIN c_t USING (pk)
+      GROUP BY cp.doc_id)
+    SELECT d.doc_id, d.source, c.n_pairs, c.lm_cost,
+           c.lm_cost // c.n_pairs AS avg_cost,
+           CASE WHEN c.lm_cost // c.n_pairs < {_LM_T_HEAD} THEN 'head'
+                WHEN c.lm_cost // c.n_pairs < {_LM_T_MIDDLE} THEN 'middle'
+                WHEN c.n_pairs IS NOT NULL THEN 'tail'
+           END AS ppl_bucket
+    FROM documents d LEFT JOIN costs c USING (doc_id)
+    """,
+)
+def text_lm_perplexity(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return lm_perplexity(d, d.filter(F.col("doc_id") % 31 == 3))

@@ -1118,3 +1118,40 @@ def test_ivfpq_probes_only_query_cell(spark):
     for r in ivf:
         assert labels[r["vec_id"]] == q_label
         assert full[r["vec_id"]] == r["pq_score"]
+
+
+def test_lm_perplexity_orders_reference_like_below_alien(spark):
+    """LM filter ground truth: a doc written in the reference model's
+    bigrams must cost strictly less per pair than a doc of never-seen
+    vocabulary (whose every pair pays the full smoothing miss cost);
+    <2-token docs appear with NULL counters (explicit-domain rule)."""
+    import pandas as pd
+
+    ref_text = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        {"doc_id": i, "source": "ref", "text": ref_text.strip()} for i in range(5)
+    ] + [
+        {"doc_id": 10, "source": "c", "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 11, "source": "c", "text": " ".join(f"zz{j}q" for j in range(9))},
+        {"doc_id": 12, "source": "c", "text": "one"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in trainops.lm_perplexity(
+            df, df.filter(df.doc_id < 5)
+        ).collect()
+    }
+    assert set(out) == set(r["doc_id"] for r in rows)
+    assert out[10]["avg_cost"] < out[11]["avg_cost"]
+    # alien bigrams all miss: every pair costs exactly ln(c1+B) with c1=0
+    import math
+    assert out[11]["avg_cost"] == round(10_000 * math.log(4096))
+    assert out[12]["n_pairs"] is None and out[12]["ppl_bucket"] is None
+    # plan: model enters via broadcast joins, one aggregation exchange
+    plan = (
+        trainops.lm_perplexity(df, df.filter(df.doc_id < 5))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
