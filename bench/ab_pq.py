@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Interleaved A/B: PQ encode — M-pass reference vs fused one-scan (r5 close).
+
+A = pq_encode: per-subspace kmeans_fit assignments + M thin vec_id joins
+    (the oracle-shaped reference form).
+B = pq_encode_fused: all M codebooks in ONE broadcast row, one projection
+    emits every code — one scan, zero joins (the production encode shape).
+
+Codebooks are fit ONCE outside the timed region (identical frames feed both
+arms — the fit is not under test) and lineage-truncated so neither arm
+re-runs Lloyd.  Timed unit: encode the embeddings frame tiled T× (vec_id
+offset per tile) and count distinct codes.  One process, A/B/A/B best-of-R,
+md5 burn receipts (BENCH/BASELINE.md discipline)."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import engine.trainops as trainops  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+TILES = 64
+REPEATS = 3
+
+
+def burn(n: int = 6_000_000) -> float:
+    import hashlib
+
+    h = b"x" * 64
+    t0 = time.time()
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return round(time.time() - t0, 2)
+
+
+def main() -> None:
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_PIN_HEAP", "1")
+    spark = get_spark("ab-pq", cores=32)
+    emb = trainops._emb(spark, SF_DIR)
+    n0 = emb.count()
+    big = None
+    for t in range(TILES):
+        tile = emb.select(
+            (F.col("vec_id") + F.lit(t * 1_000_000)).alias("vec_id"), "embedding"
+        )
+        big = tile if big is None else big.unionByName(tile)
+    big = trainops._truncate_lineage(
+        big.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    )
+    # fit once, outside the timed region; truncate so Lloyd never re-runs
+    _, cents = trainops.pq_encode(emb)
+    cents = [trainops._truncate_lineage(c) for c in cents]
+
+    def run_a():
+        codes = None
+        d_sub = trainops._PQ_DIMS // trainops._PQ_M
+        for i, c in enumerate(cents):
+            sub = big.select(
+                "vec_id",
+                F.slice("embedding", i * d_sub + 1, d_sub).alias("embedding"),
+            )
+            # assignment against the FIXED centroids (fit excluded): one
+            # zero-exchange pass per subspace, then the M-pass joins
+            e = sub.select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+            )
+            packed = F.broadcast(
+                c.agg(
+                    F.collect_list(
+                        F.struct(F.col("cluster"), F.col("emb").alias("c"))
+                    ).alias("cents")
+                )
+            )
+            best = F.array_min(
+                F.transform(
+                    F.col("cents"),
+                    lambda ct: F.struct(
+                        (
+                            trainops._dot(ct["c"], ct["c"])
+                            - F.lit(2.0) * trainops._dot(F.col("emb"), ct["c"])
+                        ).alias("s"),
+                        ct["cluster"].alias("cluster"),
+                    ),
+                )
+            )
+            ci = e.crossJoin(packed).select(
+                "vec_id", best["cluster"].alias(f"code_{i}")
+            )
+            codes = ci if codes is None else codes.join(ci, "vec_id")
+        return codes
+
+    def run_b():
+        return trainops.pq_encode_fused(big, cents)
+
+    arms = {"a_mpass_joins": run_a, "b_fused_onescan": run_b}
+    best: dict[str, float] = {}
+    checks: dict[str, int] = {}
+    b0 = burn()
+    for _ in range(REPEATS):
+        for name, fn in arms.items():
+            t0 = time.time()
+            out = fn().agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.col("code_0") + F.col("code_1") + F.col("code_2") + F.col("code_3")
+                ).alias("s"),
+            ).collect()[0]
+            dt = time.time() - t0
+            if name not in best or dt < best[name]:
+                best[name] = round(dt, 2)
+            checks[name] = (int(out["n"]), int(out["s"]))
+    assert checks["a_mpass_joins"] == checks["b_fused_onescan"], checks
+    res = {
+        "rows": n0 * TILES,
+        "best": best,
+        "speedup_fused": round(best["a_mpass_joins"] / best["b_fused_onescan"], 2),
+        "checks": checks["b_fused_onescan"],
+        "burns": [b0, burn()],
+        "repeats": REPEATS,
+    }
+    (REPO / "BENCH" / "ab_pq_r5.json").write_text(json.dumps(res, indent=1))
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

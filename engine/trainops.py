@@ -3773,6 +3773,54 @@ def pq_encode(
     return codes, cents
 
 
+def pq_encode_fused(
+    emb: DataFrame,
+    cents: list[DataFrame],
+    m: int = _PQ_M,
+    dims: int = _PQ_DIMS,
+) -> DataFrame:
+    """Encode ALL M subspaces in ONE map pass over one corpus scan: the M
+    codebooks pack into a single broadcast row (cb_0..cb_{m-1}, each an
+    array<struct<cluster, c>>) and one projection emits every code via the
+    same row-local array_min argmin as kmeans_fit — code-for-code equal to
+    pq_encode's M-pass form (differential test) but with zero vec_id joins
+    and one scan instead of M.  This is the production encode shape
+    pq_encode's docstring names; pq_encode remains the oracle-shaped
+    reference (its per-subspace assignments fall out of the fits
+    themselves).  A/B receipts: BENCH/ab_pq_r5.json."""
+    d_sub = dims // m
+    packed = None
+    for i, c in enumerate(cents):
+        pi = c.agg(
+            F.collect_list(F.struct("cluster", F.col("emb").alias("c"))).alias(
+                f"cb_{i}"
+            )
+        )
+        packed = pi if packed is None else packed.crossJoin(pi)
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+
+    def code_col(i: int):
+        sub = F.slice(F.col("emb"), i * d_sub + 1, d_sub)
+        best = F.array_min(
+            F.transform(
+                F.col(f"cb_{i}"),
+                lambda ct: F.struct(
+                    (
+                        _dot(ct["c"], ct["c"]) - F.lit(2.0) * _dot(sub, ct["c"])
+                    ).alias("s"),
+                    ct["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        return best["cluster"].alias(f"code_{i}")
+
+    return e.crossJoin(F.broadcast(packed)).select(
+        "vec_id", *[code_col(i) for i in range(m)]
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     n: int = 10,
@@ -3790,7 +3838,8 @@ def pq_adc_topk(
     centroids (round-6 means), fixed left-fold dot products, fixed t_0+…+
     t_{M-1} addition order."""
     d_sub = dims // m
-    codes, cents = pq_encode(emb, m=m, k=k, dims=dims)
+    _, cents = pq_encode(emb, m=m, k=k, dims=dims)
+    codes = pq_encode_fused(emb, cents, m=m, dims=dims)  # one scan, no joins
     q = emb.filter(F.col("vec_id") == 0)
     if coarse is not None:
         # IVF-PQ: probe only the query's coarse cell — candidates are the

@@ -1155,3 +1155,15 @@ def test_lm_perplexity_orders_reference_like_below_alien(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_fused_encode_matches_mpass(spark):
+    """The one-scan fused encode must be code-for-code identical to the
+    M-pass reference form (same codebooks → same argmins), on the real
+    embeddings table."""
+    emb = trainops._emb(spark, SF_DIR)
+    codes_ref, cents = trainops.pq_encode(emb)
+    codes_fused = trainops.pq_encode_fused(emb, cents)
+    a = {tuple(r) for r in codes_ref.collect()}
+    b = {tuple(r) for r in codes_fused.collect()}
+    assert a == b and len(a) > 0
