@@ -241,6 +241,36 @@ def refresh_semantic_cells_sql(
     """
 
 
+def pq_codes_ddl(catalog: str = "lake") -> str:
+    """The persisted PQ index behind trainops.pq_adc_topk: one M-byte code
+    row per embedded doc (the 256 B float vector stays in the embeddings
+    table; ANN scoring reads ONLY this).  Bucketed by vec_id so the codes
+    join back to any doc-keyed frame bucket-locally; the coarse IVF cell
+    rides along for partition-pruned cell probes (sim_ivfpq_topk)."""
+    return f"""
+    CREATE TABLE IF NOT EXISTS {catalog}.curation.pq_codes (
+      vec_id BIGINT, coarse INT,
+      code_0 INT, code_1 INT, code_2 INT, code_3 INT
+    ) USING iceberg
+    PARTITIONED BY (coarse, bucket(1024, vec_id))
+    """
+
+
+def refresh_pq_codes_sql(codes_view: str = "pq_codes_new", catalog: str = "lake") -> str:
+    """Code refresh as an idempotent upsert (same discipline as
+    semantic_cells): re-encoding after a codebook refit re-labels every
+    embedded doc; codes are meaningless without their codebook, so a refit
+    must replace codes atomically per doc — MERGE, not append."""
+    return f"""
+    MERGE INTO {catalog}.curation.pq_codes t
+    USING {codes_view} s ON t.vec_id = s.vec_id
+    WHEN MATCHED THEN UPDATE SET coarse = s.coarse, code_0 = s.code_0,
+      code_1 = s.code_1, code_2 = s.code_2, code_3 = s.code_3
+    WHEN NOT MATCHED THEN INSERT (vec_id, coarse, code_0, code_1, code_2, code_3)
+      VALUES (s.vec_id, s.coarse, s.code_0, s.code_1, s.code_2, s.code_3)
+    """
+
+
 def expire_runs_sql(expired_run_ids: list[str], catalog: str = "lake") -> list[str]:
     """S7 retention of RUNS: metadata-only partition drops across all output
     tables — io.py expire_runs' atomic per-run removal, Iceberg-side."""
@@ -280,6 +310,8 @@ def parse_checked_statements(run_id: str = "r1") -> list[str]:
             refresh_media_groups_sql(),
             semantic_cells_ddl(),
             refresh_semantic_cells_sql(),
+            pq_codes_ddl(),
+            refresh_pq_codes_sql(),
         ]
         + expire_runs_sql([run_id])
     )

@@ -161,3 +161,31 @@ def test_semantic_cells_ddl_matches_live_schema(spark):
     assert [(f.name, str(f.dataType)) for f in live.fields] == [
         (name, spark_names[typ]) for name, typ in pinned
     ]
+
+
+def test_pq_codes_ddl_matches_live_schema(spark):
+    """pq_codes DDL is pinned to pq_encode_fused's LIVE code schema (plus
+    the coarse cell column sim_ivfpq_topk prunes on, typed like the
+    embeddings table's label)."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from engine import iceberg
+    from engine.trainops import pq_encode, pq_encode_fused
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4)] * 64) for i in range(8)],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+    _, cents = pq_encode(emb)
+    live = pq_encode_fused(emb, cents).schema
+    type_map = {"bigint": "BIGINT", "int": "INT"}
+    want = {f.name: type_map[f.dataType.simpleString()] for f in live.fields}
+    got = _ddl_columns(iceberg.pq_codes_ddl())
+    coarse = got.pop("coarse")
+    assert coarse == "INT"  # embeddings.label is INT (TESTDATA schema)
+    assert got == want, f"DDL {got} != live schema {want}"
