@@ -1471,6 +1471,31 @@ def _tri_hits_sql(col: str, grams: list[str]) -> str:
     )
 
 
+def langid_pred_col(col=None):
+    """Row-local char-trigram language prediction over ``text`` (en/es/und
+    argmax) — the per-doc form text_langid_ngram aggregates and the CCNet
+    composition routes on."""
+    col = F.col("text") if col is None else col
+
+    def tri_hits(grams):
+        out = F.lit(0)
+        for g in grams:
+            out = out + (F.length(col) - F.length(F.replace(col, F.lit(g)))) / 3
+        return out
+
+    en, es = tri_hits(_EN_TRIGRAMS), tri_hits(_ES_TRIGRAMS)
+    return F.when(en > es, "en").when(es > en, "es").otherwise("und")
+
+
+def _langid_pred_sql(col: str = "text") -> str:
+    """Oracle twin of langid_pred_col."""
+    en, es = _tri_hits_sql(col, _EN_TRIGRAMS), _tri_hits_sql(col, _ES_TRIGRAMS)
+    return (
+        f"CASE WHEN {en} > {es} THEN 'en' "
+        f"WHEN {es} > {en} THEN 'es' ELSE 'und' END"
+    )
+
+
 @_q(
     "text_langid_ngram",
     "text analysis — character-n-gram language ID: occurrence counts of "
@@ -1490,18 +1515,10 @@ def _tri_hits_sql(col: str, grams: list[str]) -> str:
 )
 def text_langid_ngram(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-
-    def tri_hits(col, grams):
-        out = F.lit(0)
-        for g in grams:
-            out = out + (F.length(col) - F.length(F.replace(col, F.lit(g)))) / 3
-        return out
-
-    en = tri_hits(F.col("text"), _EN_TRIGRAMS)
-    es = tri_hits(F.col("text"), _ES_TRIGRAMS)
-    pred = F.when(en > es, "en").when(es > en, "es").otherwise("und")
     return (
-        d.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(F.count("*").alias("cnt"))
+        d.select("lang", langid_pred_col().alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("cnt"))
     )
 
 
@@ -4076,6 +4093,40 @@ _LM_PAIRS_SQL = f"""
 """
 
 
+def _lm_sql_ctes(ref: str, corpus: str) -> str:
+    """Oracle twin of lm_perplexity's model fit + scoring as a reusable CTE
+    chain (rt…costs) over CTEs ``ref``/``corpus`` (doc_id, text) — shared
+    by text_lm_perplexity and the CCNet composition."""
+    return f"""
+    rt AS (SELECT {_LM_BUCKET_SQL} AS b1
+           FROM {ref}, unnest(string_split(text, ' ')) AS u(t)),
+    c1 AS (SELECT b1, count(*) AS c FROM rt GROUP BY b1),
+    a_t AS (
+      SELECT b.range AS b1,
+             CAST(ROUND({_DSIR_SCALE} * ln(COALESCE(c1.c, 0)
+                                           + {_DSIR_BUCKETS})) AS BIGINT) AS a_w
+      FROM range({_DSIR_BUCKETS}) b LEFT JOIN c1 ON c1.b1 = b.range),
+    rp AS ({_LM_PAIRS_SQL.format(src=ref)}),
+    c_t AS (
+      SELECT pk, CAST(ROUND({_DSIR_SCALE} * ln(count(*) + 1)) AS BIGINT) AS c_w
+      FROM rp GROUP BY pk),
+    cp AS ({_LM_PAIRS_SQL.format(src=corpus)}),
+    costs AS (
+      SELECT cp.doc_id, count(*) AS n_pairs,
+             CAST(SUM(a_t.a_w - COALESCE(c_t.c_w, 0)) AS BIGINT) AS lm_cost
+      FROM cp
+      JOIN a_t ON a_t.b1 = cp.pk // {_DSIR_BUCKETS}
+      LEFT JOIN c_t USING (pk)
+      GROUP BY cp.doc_id)"""
+
+
+# Per-doc bucket CASE over the `costs` CTE columns (alias c):
+_LM_BUCKET_CASE = f"""CASE WHEN c.lm_cost // c.n_pairs < {_LM_T_HEAD} THEN 'head'
+                WHEN c.lm_cost // c.n_pairs < {_LM_T_MIDDLE} THEN 'middle'
+                WHEN c.n_pairs IS NOT NULL THEN 'tail'
+           END"""
+
+
 @_local_q(
     "text_lm_perplexity",
     "training-data quality — CCNet-style LM perplexity filter (Wenzek et "
@@ -4084,35 +4135,89 @@ _LM_PAIRS_SQL = f"""
     "buckets",
     f"""
     WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 = 3),
-    rt AS (SELECT {_LM_BUCKET_SQL} AS b1
-           FROM ref, unnest(string_split(text, ' ')) AS u(t)),
-    c1 AS (SELECT b1, count(*) AS c FROM rt GROUP BY b1),
-    a_t AS (
-      SELECT b.range AS b1,
-             CAST(ROUND({_DSIR_SCALE} * ln(COALESCE(c1.c, 0)
-                                           + {_DSIR_BUCKETS})) AS BIGINT) AS a_w
-      FROM range({_DSIR_BUCKETS}) b LEFT JOIN c1 ON c1.b1 = b.range),
-    rp AS ({_LM_PAIRS_SQL.format(src='ref')}),
-    c_t AS (
-      SELECT pk, CAST(ROUND({_DSIR_SCALE} * ln(count(*) + 1)) AS BIGINT) AS c_w
-      FROM rp GROUP BY pk),
-    cp AS ({_LM_PAIRS_SQL.format(src='documents')}),
-    costs AS (
-      SELECT cp.doc_id, count(*) AS n_pairs,
-             CAST(SUM(a_t.a_w - COALESCE(c_t.c_w, 0)) AS BIGINT) AS lm_cost
-      FROM cp
-      JOIN a_t ON a_t.b1 = cp.pk // {_DSIR_BUCKETS}
-      LEFT JOIN c_t USING (pk)
-      GROUP BY cp.doc_id)
+    {_lm_sql_ctes('ref', 'documents')}
     SELECT d.doc_id, d.source, c.n_pairs, c.lm_cost,
            c.lm_cost // c.n_pairs AS avg_cost,
-           CASE WHEN c.lm_cost // c.n_pairs < {_LM_T_HEAD} THEN 'head'
-                WHEN c.lm_cost // c.n_pairs < {_LM_T_MIDDLE} THEN 'middle'
-                WHEN c.n_pairs IS NOT NULL THEN 'tail'
-           END AS ppl_bucket
+           {_LM_BUCKET_CASE} AS ppl_bucket
     FROM documents d LEFT JOIN costs c USING (doc_id)
     """,
 )
 def text_lm_perplexity(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return lm_perplexity(d, d.filter(F.col("doc_id") % 31 == 3))
+
+
+def train_corpus_ccnet_outcomes(spark, sf_dir) -> DataFrame:
+    """The literal CCNet pipeline (Wenzek et al. 2020) composed end-to-end,
+    in the paper's own order: EXACT DEDUP (paragraph-hash analogue: md5 of
+    the text, keep the min-doc_id copy) → LANGUAGE ID (char-trigram argmax)
+    → LM PERPLEXITY BUCKETS fit on the DEDUPED survivors (their reference
+    slice; fitting on raw text would let boilerplate copies drag the model,
+    the same survivor-fit discipline as train_corpus_semantic_filtered).
+
+    Per-doc verdict: 'dropped_duplicate' for non-canonical copies, else the
+    doc's head/middle/tail bucket; language prediction rides along so the
+    rollup is the per-(pred, outcome) table CCNet publishes per language.
+    Plan shape: one md5 groupBy + fingerprint join-back (the dedup_exact
+    core), row-local langid, the LM chain's two broadcast joins + one
+    exchange — linear, no self-joins; the labeled frame is lineage-truncated
+    at its fork (it feeds the reference fit, the scoring pass and the final
+    rollup)."""
+    d = _augmented(spark, sf_dir).select("doc_id", "source", "text")
+    fp = d.withColumn("f", F.md5("text"))
+    canon = fp.groupBy("f").agg(F.min("doc_id").alias("canon_id"))
+    lab = _truncate_lineage(
+        fp.join(canon, "f").select(
+            "doc_id",
+            "source",
+            "text",
+            (F.col("doc_id") != F.col("canon_id")).alias("is_dup"),
+        )
+    )
+    surv = lab.filter(~F.col("is_dup")).select("doc_id", "source", "text")
+    ppl = lm_perplexity(surv, surv.filter(F.col("doc_id") % 31 == 3)).select(
+        "doc_id", "ppl_bucket"
+    )
+    return (
+        lab.join(ppl, "doc_id", "left")
+        .select(
+            "doc_id",
+            langid_pred_col().alias("pred"),
+            F.when(F.col("is_dup"), "dropped_duplicate")
+            .otherwise(F.col("ppl_bucket"))
+            .alias("outcome"),
+        )
+    )
+
+
+@_local_q(
+    "train_corpus_ccnet",
+    "END-TO-END CCNet pipeline (Wenzek et al. 2020), in the paper's order: "
+    "exact dedup (md5 keep-min) → char-trigram language ID → LM perplexity "
+    "buckets fit on deduped survivors; per-(predicted-lang, outcome) doc "
+    "counts — the per-language head/middle/tail table CCNet publishes",
+    f"""
+    WITH aug AS ({_AUG_SQL}),
+    fp AS (SELECT doc_id, source, text, md5(text) AS f FROM aug),
+    canon AS (SELECT f, min(doc_id) AS canon_id FROM fp GROUP BY f),
+    lab AS (
+      SELECT fp.doc_id, fp.source, fp.text, fp.doc_id <> canon.canon_id AS is_dup
+      FROM fp JOIN canon USING (f)),
+    surv AS (SELECT doc_id, text FROM lab WHERE NOT is_dup),
+    ref AS (SELECT doc_id, text FROM surv WHERE doc_id % 31 = 3),
+    {_lm_sql_ctes('ref', 'surv')}
+    SELECT pred, outcome, count(*) AS docs FROM (
+      SELECT l.doc_id,
+             {_langid_pred_sql('l.text')} AS pred,
+             CASE WHEN l.is_dup THEN 'dropped_duplicate'
+                  ELSE {_LM_BUCKET_CASE} END AS outcome
+      FROM lab l LEFT JOIN costs c USING (doc_id)
+    ) GROUP BY pred, outcome
+    """,
+)
+def train_corpus_ccnet(spark, sf_dir):
+    return (
+        train_corpus_ccnet_outcomes(spark, sf_dir)
+        .groupBy("pred", "outcome")
+        .agg(F.count("*").alias("docs"))
+    )

@@ -1167,3 +1167,28 @@ def test_pq_fused_encode_matches_mpass(spark):
     a = {tuple(r) for r in codes_ref.collect()}
     b = {tuple(r) for r in codes_fused.collect()}
     assert a == b and len(a) > 0
+
+
+def test_ccnet_pipeline_outcomes(spark):
+    """CCNet composition invariants on the augmented corpus: every doc gets
+    exactly one outcome; the planted exact mirrors (doc_id%7==0 → +200000)
+    are ALL dropped as duplicates while their canonicals survive into a ppl
+    bucket; survivor outcomes are exactly the three buckets; deterministic."""
+    out = {
+        r["doc_id"]: r["outcome"]
+        for r in trainops.train_corpus_ccnet_outcomes(spark, SF_DIR).collect()
+    }
+    aug_ids = {r["doc_id"] for r in trainops._augmented(spark, SF_DIR).select("doc_id").collect()}
+    assert set(out) == aug_ids
+    mirrors = [i for i in aug_ids if i >= 200000]
+    assert mirrors and all(out[i] == "dropped_duplicate" for i in mirrors)
+    for i in mirrors:
+        assert out[i - 200000] in ("head", "middle", "tail")
+    assert {v for k, v in out.items() if v != "dropped_duplicate"} <= {
+        "head", "middle", "tail"
+    }
+    again = {
+        r["doc_id"]: r["outcome"]
+        for r in trainops.train_corpus_ccnet_outcomes(spark, SF_DIR).collect()
+    }
+    assert out == again
