@@ -3987,8 +3987,12 @@ def sim_ivfpq_topk(spark, sf_dir):
 # table C[pk] = round(1e4·ln(c2+1)) keyed by pk = b1·B + b2 (only seen
 # bigrams — unseen lookups fall back to 0 = ln(0+1), which is exactly the
 # smoothing's miss cost).  Per-doc cost is then an INTEGER sum over the
-# doc's adjacent-pair keys via two broadcast hash joins; c2 ≤ c1 guarantees
-# every pair cost ≥ 0.  Buckets use FIXED thresholds (CCNet ships
+# doc's adjacent-pair keys via two broadcast hash joins; c2 ≤ c1 keeps
+# every pair cost ≥ 0 for reference samples below ~4e7 tokens per bucket
+# (beyond that, ln((c1+B)/(c1+1)) shrinks under the 1e-4 quantization grid
+# and independent rounding could yield a stray −1 — harmless, but the
+# invariant is stated with its bound; property-pinned in
+# test_properties.py).  Buckets use FIXED thresholds (CCNet ships
 # precomputed per-language cutoffs the same way); production swaps the two
 # tables for a real KenLM's and nothing else changes.
 
@@ -4220,4 +4224,34 @@ def train_corpus_ccnet(spark, sf_dir):
         train_corpus_ccnet_outcomes(spark, sf_dir)
         .groupBy("pred", "outcome")
         .agg(F.count("*").alias("docs"))
+    )
+
+
+@_local_q(
+    "text_vocab_topk",
+    "tokenizer prep — corpus vocabulary: global token counts (map-side "
+    "combined), top-500 by frequency via the 0-exchange TakeOrdered path; "
+    "the count table a WordPiece/BPE trainer seeds from",
+    """
+    SELECT t AS token, count(*) AS cnt
+    FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    GROUP BY t
+    ORDER BY cnt DESC, token ASC LIMIT 500
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus token-frequency table, top-k — the first artifact a tokenizer
+    training run (WordPiece/BPE seed vocab, coverage stats) derives from a
+    curated corpus.  One token-keyed exchange (partial counts combine
+    map-side, so the shuffle carries one row per (token, reducer) not per
+    occurrence), then TakeOrdered for the cut; token cardinality — not
+    corpus size — bounds the aggregate state, which is what makes this
+    linear at 10^12 docs."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(500)
     )

@@ -112,3 +112,41 @@ def test_decode_one_roundtrips_both_magics():
     )
     assert spb["decode_error"] is None and spb["body_lines"] == ["y"]
     assert set(spg) == set(spb)  # one PAGE_FEATURES contract, two codecs
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 1_000_000), st.integers(0, 1_000_000))
+def test_lm_quantized_pair_cost_nonnegative_within_bound(c1, c2):
+    """lm_perplexity's per-pair cost a_w − c_w must be ≥ 0 whenever the
+    bigram count can't exceed its first-word unigram count (c2 ≤ c1) and
+    the reference sample stays under the documented ~4e7-per-bucket bound —
+    the integer-quantization analogue of ln P(w|prev) ≤ 0.  (Beyond the
+    bound the two independent round() calls can produce a stray −1, which
+    is why the engine docstring states the bound instead of claiming the
+    invariant universally.)"""
+    import math
+
+    if c2 > c1:
+        c1, c2 = c2, c1  # enforce the model's structural constraint
+    B, SCALE = 4096, 10_000
+    a_w = round(SCALE * math.log(c1 + B))
+    c_w = round(SCALE * math.log(c2 + 1))
+    assert a_w - c_w >= 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 2**62))
+def test_knuth_gumbel_key_arithmetic_stays_in_int64(doc_id):
+    """The DSIR resample key's hash arithmetic must stay inside int64 for
+    any plausible doc_id (the 31-bit mask documented at _KNUTH), and the
+    Gumbel term must be finite — u can never reach 0 or 1 because of the
+    +0.5 half-bucket offset."""
+    import math
+
+    KNUTH = 2654435761
+    masked = (doc_id % 2**31) * KNUTH
+    assert masked < 2**63  # no overflow before the % 2**32
+    u = ((masked % 2**32) + 0.5) / 2**32
+    assert 0.0 < u < 1.0
+    g = -math.log(-math.log(u))
+    assert math.isfinite(g)
