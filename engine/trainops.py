@@ -4255,3 +4255,57 @@ def text_vocab_topk(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(500)
     )
+
+
+def dsir_select_threshold(
+    spark: SparkSession,
+    target: DataFrame,
+    raw_sample: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """dsir_select's EXTREME-k form: TakeOrdered merges every partition's
+    top-k on the driver — fine at k=400, driver-fatal at k ~ 10^7 (a 1%
+    resample of 10^9 docs).  This computes the exact same selection with
+    driver state bounded by the KEY RANGE, not k:
+
+      pass 1 — integer histogram of resample_key div bucket_width (one
+      tiny groupBy; the driver walks ~range/width cumulative counts to find
+      the boundary bucket and the residual quota r inside it);
+      pass 2 — keys in buckets strictly above the boundary are selected
+      outright (a row-local filter), and only the boundary bucket's
+      members — a ~bucket-width-bounded population — go through an ordered
+      cut for the last r slots.
+
+    Same total order (resample_key DESC, doc_id ASC), same result set as
+    dsir_select (differential test); the scored frame is lineage-truncated
+    since both passes read it."""
+    scored = _truncate_lineage(
+        dsir_score(corpus, dsir_weights(spark, target, raw_sample))
+    )
+    bucketed = scored.withColumn("kb", F.expr(f"resample_key div {bucket_width}"))
+    hist = sorted(
+        (
+            (r["kb"], r["n"])
+            for r in bucketed.groupBy("kb").agg(F.count("*").alias("n")).collect()
+        ),
+        key=lambda x: -x[0],
+    )
+    cum = 0
+    boundary, residual = None, 0
+    for kb, n in hist:
+        if cum + n >= k:
+            boundary, residual = kb, k - cum
+            break
+        cum += n
+    if boundary is None:  # corpus smaller than k: everything is selected
+        return bucketed.drop("kb")
+    above = bucketed.filter(F.col("kb") > boundary).drop("kb")
+    edge = (
+        bucketed.filter(F.col("kb") == boundary)
+        .drop("kb")
+        .orderBy(F.desc("resample_key"), F.asc("doc_id"))
+        .limit(residual)
+    )
+    return above.unionByName(edge)

@@ -1192,3 +1192,35 @@ def test_ccnet_pipeline_outcomes(spark):
         for r in trainops.train_corpus_ccnet_outcomes(spark, SF_DIR).collect()
     }
     assert out == again
+
+
+def test_dsir_threshold_selection_matches_takeordered(spark):
+    """The extreme-k histogram/threshold form must select EXACTLY the same
+    document set as the TakeOrdered reference at every k tried (including
+    k larger than the corpus), and its 'above the boundary' majority must
+    be a row-local filter (no global sort for those rows)."""
+    d = trainops.load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    target = d.filter(F_mod(d, 23, 1))
+    raw = d.filter(~F_mod(d, 23, 1) & F_mod(d, 29, 2))
+    corpus = d.filter(~F_mod(d, 23, 1))
+    from pyspark.sql import functions as F
+
+    n_corpus = corpus.count()
+    for k in (40, 400, n_corpus + 100):
+        ref = {
+            r["doc_id"]
+            for r in trainops.dsir_select(spark, target, raw, corpus, k=k).collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in trainops.dsir_select_threshold(
+                spark, target, raw, corpus, k=k
+            ).collect()
+        }
+        assert got == ref and len(ref) == min(k, n_corpus)
+
+
+def F_mod(df, m, r):
+    from pyspark.sql import functions as F
+
+    return (F.col("doc_id") % m) == r
