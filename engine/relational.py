@@ -693,7 +693,11 @@ def j2_positional_zip(spark, sf_dir):
     )
 
 
-@_q(
+@_local_q(  # retired to the local registry end-r5 (slot ceded to
+    # train_corpus_ccnet, the CCNet end-to-end composition).  W2's
+    # dedup_consecutive_words stays driver-attested through the flagship
+    # text branch — it runs inside normalize_span_text (textops.py:178),
+    # which x_text_branch_extraction value-checks.  f2/f3/f8/f20 precedent.
     "w2_word_dedup",
     "W2 — consecutive-duplicate word removal (text_utils.py:79-105): tokens "
     "removed per source (regex backreference in Spark, indexed list_filter in "

@@ -4194,7 +4194,9 @@ def train_corpus_ccnet_outcomes(spark, sf_dir) -> DataFrame:
     )
 
 
-@_local_q(
+@_q(  # driver-window since end-r5 (slot freed by w2_word_dedup): the
+    # CCNet end-to-end composition — dedup, langid and LM-quality families
+    # value-checked in one row
     "train_corpus_ccnet",
     "END-TO-END CCNet pipeline (Wenzek et al. 2020), in the paper's order: "
     "exact dedup (md5 keep-min) → char-trigram language ID → LM perplexity "

@@ -47,6 +47,7 @@ def test_registry_fits_driver_window():
         "x_audit_media_pixels",
         "text_repetition",
         "text_dsir_select",
+        "train_corpus_ccnet",
     ):
         assert must in names[:DRIVER_QUERY_CAP], f"{must} evicted from driver window"
 
