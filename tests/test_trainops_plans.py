@@ -30,6 +30,13 @@ _PAIRING_QUERIES = [
     trainops.train_curate_incremental,
     trainops.dedup_substring_spans,
     trainops.dedup_substring_scrub,
+    # r5 close: the CCNet composition (md5 equi-join dedup + two broadcast
+    # LM joins — must stay free of all-pairs shapes end-to-end).  The
+    # DSIR/PQ queries are NOT here: their 1-row totals/packed-codebook
+    # broadcast crossJoins are by-design BNLJs (sim_cosine_topk precedent)
+    # and carry their own dedicated plan tests instead.
+    trainops.train_corpus_ccnet,
+    trainops.text_lm_perplexity,
 ]
 
 _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
