@@ -106,27 +106,38 @@ def main() -> None:
 
     arms = {"a_mpass_joins": run_a, "b_fused_onescan": run_b}
     best: dict[str, float] = {}
-    checks: dict[str, int] = {}
+    checks: dict[str, list[tuple[int, int, int]]] = {k: [] for k in arms}
     b0 = burn()
     for _ in range(REPEATS):
         for name, fn in arms.items():
             t0 = time.time()
+            # fingerprint mixes each code with its vec_id so arms that
+            # permute code ASSIGNMENTS (not just totals) can't pass; every
+            # repeat's fingerprint is kept and compared, so earlier-repeat
+            # nondeterminism can't be overwritten (code-for-code equality
+            # is separately pinned by the untiled differential unit test)
             out = fn().agg(
                 F.count("*").alias("n"),
                 F.sum(
                     F.col("code_0") + F.col("code_1") + F.col("code_2") + F.col("code_3")
                 ).alias("s"),
+                F.sum(
+                    (F.col("vec_id") % F.lit(997))
+                    * (F.col("code_0") * 64 + F.col("code_1") * 16
+                       + F.col("code_2") * 4 + F.col("code_3"))
+                ).alias("mix"),
             ).collect()[0]
             dt = time.time() - t0
             if name not in best or dt < best[name]:
                 best[name] = round(dt, 2)
-            checks[name] = (int(out["n"]), int(out["s"]))
+            checks[name].append((int(out["n"]), int(out["s"]), int(out["mix"])))
     assert checks["a_mpass_joins"] == checks["b_fused_onescan"], checks
+    assert len(set(checks["a_mpass_joins"])) == 1, checks  # repeat-stable
     res = {
         "rows": n0 * TILES,
         "best": best,
         "speedup_fused": round(best["a_mpass_joins"] / best["b_fused_onescan"], 2),
-        "checks": checks["b_fused_onescan"],
+        "checks": checks["b_fused_onescan"][-1],
         "burns": [b0, burn()],
         "repeats": REPEATS,
     }

@@ -61,20 +61,30 @@ def main() -> None:
     n_docs = spark.read.parquet(cdir).count()
 
     from engine.streaming import stream_curate
-    from engine.trainops import repetition_flag_col
+    from engine.trainops import quality_flag_col, repetition_flag_col
 
-    def batch_arm():
+    def batch_arm(tag):
+        # SYMMETRIC with the stream arm: same verdict filter + exact dedup,
+        # AND the same parquet sink + read-back count — so the measured
+        # delta is micro-batch orchestration + state-store cost, not
+        # unmatched sink I/O (the first cut of this bench charged the
+        # write only to the stream arm and overstated the overhead)
         d = spark.read.parquet(cdir)
-        n_tokens = F.size(F.split("text", " "))
         lab = d.withColumn(
             "pre",
             F.coalesce(
-                F.when((n_tokens < 10) | (n_tokens > 500), "quality"),
+                F.when(quality_flag_col(), "quality"),
                 F.when(repetition_flag_col(), "repetition"),
             ),
         )
-        kept = lab.filter(F.col("pre").isNull()).withColumn("fp", F.md5("text"))
-        return kept.dropDuplicates(["fp"])
+        kept = lab.filter(F.col("pre").isNull()).drop("pre")
+        out = tempfile.mkdtemp(prefix=f"batch-curate-out-{tag}-")
+        kept.dropDuplicates(["text"]).write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        fps = {r["fp"] for r in spark.read.parquet(out)
+               .select(F.md5("text").alias("fp")).collect()}
+        shutil.rmtree(out, ignore_errors=True)
+        return n, fps
 
     def stream_arm(tag):
         schema = spark.read.parquet(cdir).schema
@@ -96,30 +106,36 @@ def main() -> None:
         )
         q.awaitTermination(600)
         n = spark.read.parquet(out).count()
+        fps = {r["fp"] for r in spark.read.parquet(out)
+               .select(F.md5("text").alias("fp")).collect()}
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
-        return n
+        return n, fps
 
     b0 = burn()
     best = {}
     kept_counts = {}
+    fp_sets = {}
     for r in range(REPEATS):
         t0 = time.time()
-        n_stream = stream_arm(f"r{r}")
+        n_stream, fp_s = stream_arm(f"r{r}")
         dt = time.time() - t0
         if "stream" not in best or dt < best["stream"]:
             best["stream"] = round(dt, 2)
         kept_counts["stream"] = n_stream
+        fp_sets["stream"] = fp_s
 
         t0 = time.time()
-        n_batch = batch_arm().count()  # one action; count also gives the check
+        n_batch, fp_b = batch_arm(f"r{r}")
         dt = time.time() - t0
         if "batch" not in best or dt < best["batch"]:
             best["batch"] = round(dt, 2)
         kept_counts["batch"] = n_batch
+        fp_sets["batch"] = fp_b
 
-    # survivor-set equivalence: streaming kept fp-set == batch kept fp-set
-    assert kept_counts["stream"] == kept_counts["batch"], kept_counts
+    # survivor-set equivalence: the actual kept FINGERPRINT SETS must be
+    # identical (a count compare certifies much less)
+    assert fp_sets["stream"] == fp_sets["batch"], kept_counts
     res = {
         "docs": n_docs,
         "kept": kept_counts["stream"],

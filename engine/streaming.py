@@ -234,13 +234,12 @@ def stream_curate(
     horizon let through.  Output: the surviving (curated-front) docs."""
     from pyspark.sql import functions as F
 
-    from engine.trainops import repetition_flag_col
+    from engine.trainops import quality_flag_col, repetition_flag_col
 
-    n_tokens = F.size(F.split("text", " "))
     labeled = doc_stream.withColumn(
         "pre_reason",
         F.coalesce(
-            F.when((n_tokens < 10) | (n_tokens > 500), "quality"),
+            F.when(quality_flag_col(), "quality"),
             F.when(repetition_flag_col(), "repetition"),
         ),
     )

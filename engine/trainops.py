@@ -1770,6 +1770,17 @@ def _rep_counters(w) -> dict:
     }
 
 
+def quality_flag_col(min_tokens: int = 10, max_tokens: int = 500):
+    """The curation quality window (token count outside [min, max]) as one
+    row-local Column over `text` — the single definition the batch chain
+    (curation_outcomes, train_corpus_semantic_filtered) and the streaming
+    ingest front (streaming.stream_curate) share, so a doc gets the SAME
+    quality verdict at ingest as overnight; inline copies of the bounds
+    had already drifted into three call sites before this was factored."""
+    n = F.size(F.split("text", " "))
+    return (n < F.lit(min_tokens)) | (n > F.lit(max_tokens))
+
+
 def repetition_flag_col():
     """The Gopher repetition FLAG alone, as one row-local Column over
     `text` — lets a filtering pipeline compute it inline (a withColumn on
@@ -1924,9 +1935,8 @@ def curation_outcomes(aug: DataFrame) -> DataFrame:
     orders by the doc_id column's own type (numeric ids numerically,
     string ids lexicographically) — oracles must compare in the same id
     space."""
-    n_tokens = F.size(F.split("text", " "))
     docs = aug.withColumn(
-        "pre_reason", F.when((n_tokens < 10) | (n_tokens > 500), "quality")
+        "pre_reason", F.when(quality_flag_col(), "quality")
     )
     # The repetition flag is row-local (repetition_flag_col), so it's a
     # withColumn on the doc frame — the earlier r5 form joined the
@@ -2718,10 +2728,9 @@ def curate_incremental(
     probe join's build side.  Index the kept docs for the next delta with
     ``updated_signature_index`` (a ``kept`` outcome here is exactly a
     ``new`` verdict there)."""
-    n_tokens = F.size(F.split("text", " "))
     docs = new_docs.select("doc_id", "source", "text").withColumn(
         "pre_reason",
-        F.when((n_tokens < min_tokens) | (n_tokens > max_tokens), "quality"),
+        F.when(quality_flag_col(min_tokens, max_tokens), "quality"),
     )
     # row-local flag inline, same as _curation_outcomes — no counters join
     labeled = docs.withColumn(
@@ -3323,9 +3332,8 @@ def train_corpus_semantic_filtered(spark, sf_dir):
     as train_corpus_semantic).  Precedence is deterministic: quality ≺
     repetition ≺ semantic-dup ≺ kept."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    n_tokens = F.size(F.split("text", " "))
     labeled = d.withColumn(
-        "pre_reason", F.when((n_tokens < 10) | (n_tokens > 500), "quality")
+        "pre_reason", F.when(quality_flag_col(), "quality")
     ).withColumn(
         "pre_reason",
         F.coalesce(
@@ -3558,8 +3566,14 @@ def dsir_score(docs: DataFrame, weights: DataFrame) -> DataFrame:
     ).select(
         "doc_id", "source", "n_tokens", _dsir_bucket(F.col("tok")).alias("bucket")
     )
+    # id-TYPE-agnostic uniform: md5 of the STRING form of doc_id → 32-bit
+    # integer (the numeric Knuth form silently yields NULL keys on string
+    # doc_ids — selection would then ignore the scores entirely); +0.5
+    # half-bucket offset keeps u strictly inside (0, 1)
     u = (
-        ((F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)) % F.lit(2**32)
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
         + F.lit(0.5)
     ) / F.lit(float(2**32))
     gumbel = F.round(F.lit(_DSIR_SCALE) * -F.log(-F.log(u)), 0).cast("long")
@@ -3636,10 +3650,11 @@ def _dsir_sql_ctes(tgt: str, raws: str, corpus: str) -> str:
 
 
 # Deterministic Gumbel resample key (doc_id must be in scope):
-# score + round(SCALE * -ln(-ln(u))), u = Knuth-hash uniform of doc_id.
+# score + round(SCALE * -ln(-ln(u))), u = md5-of-string-id uniform —
+# id-type-agnostic, identical arithmetic in both engines.
 _DSIR_KEY_SQL = f"""dsir_score + CAST(ROUND({_DSIR_SCALE} * -ln(-ln(
-             (((doc_id % 2147483648) * {_KNUTH}) % 4294967296 + 0.5)
-             / 4294967296.0))) AS BIGINT)"""
+             ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               + 0.5) / 4294967296.0)))) AS BIGINT)"""
 
 
 @_q(  # driver-window since end-r5 (slot freed by f8_price_coercion):
@@ -3856,44 +3871,74 @@ def pq_adc_topk(
     t_{M-1} addition order."""
     d_sub = dims // m
     _, cents = pq_encode(emb, m=m, k=k, dims=dims)
-    codes = pq_encode_fused(emb, cents, m=m, dims=dims)  # one scan, no joins
+    # Each centroid frame must have exactly ONE consumer: a naive plan
+    # feeds cents[i] to both the encode row and the ADC table, and without
+    # a lineage cut every Lloyd fit executes twice (verified: 8 init
+    # windows for 4 subspaces).  Eager checkpoints were measured WORSE
+    # (4 sequential jobs: 7.57 s vs 4.00 s shared-lineage) — the right
+    # shape derives the lookup maps INSIDE the same packed broadcast row
+    # the encode reads: t_i = map over cb_i of q_i·codeword, so the Lloyd
+    # lineage appears once and the corpus pass computes each candidate's
+    # code argmin AND its table lookup in one projection.
     q = emb.filter(F.col("vec_id") == 0)
-    if coarse is not None:
-        # IVF-PQ: probe only the query's coarse cell — candidates are the
-        # codes of vectors sharing the query's coarse id (a thin equi-join
-        # of the codes frame with the (vec_id, coarse) projection), so the
-        # scan-and-score set shrinks by the cell count BEFORE any lookup.
-        qc = F.broadcast(q.select(F.col(coarse).alias("q_coarse")))
-        codes = (
-            codes.join(emb.select("vec_id", coarse), "vec_id")
-            .crossJoin(qc)
-            .filter(F.col(coarse) == F.col("q_coarse"))
-            .drop(coarse, "q_coarse")
-        )
     packed = None
     for i, c in enumerate(cents):
-        qi = q.select(
-            F.transform(
-                F.slice("embedding", i * d_sub + 1, d_sub),
-                lambda x: x.cast("double"),
-            ).alias("q")
-        )
-        ti = (
-            c.crossJoin(F.broadcast(qi))
-            .select("cluster", _dot(F.col("emb"), F.col("q")).alias("t"))
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("cluster", "t"))
-                ).alias(f"t_{i}")
+        pi = c.agg(
+            F.collect_list(F.struct("cluster", F.col("emb").alias("c"))).alias(
+                f"cb_{i}"
             )
         )
-        packed = ti if packed is None else packed.crossJoin(ti)
-    score = F.element_at(F.col("t_0"), F.col("code_0"))
+        packed = pi if packed is None else packed.crossJoin(pi)
+    q_cols = [
+        F.transform(
+            F.slice("embedding", i * d_sub + 1, d_sub), lambda x: x.cast("double")
+        ).alias(f"q_{i}")
+        for i in range(m)
+    ]
+    def t_col(i: int):
+        # (a 2-arg lambda would receive transform's array INDEX as its
+        # second var — close over i via this helper's scope instead)
+        return F.map_from_entries(
+            F.transform(
+                F.col(f"cb_{i}"),
+                lambda ct: F.struct(ct["cluster"], _dot(F.col(f"q_{i}"), ct["c"])),
+            )
+        ).alias(f"t_{i}")
+
+    packed = packed.crossJoin(F.broadcast(q.select(*q_cols))).select(
+        *[t_col(i) for i in range(m)],
+        *[F.col(f"cb_{i}") for i in range(m)],
+    )
+    e = emb.filter(F.col("vec_id") != 0)
+    if coarse is not None:
+        # IVF-PQ: probe only the query's coarse cell — a row-local filter
+        # against the broadcast query cell shrinks the scan-and-score set
+        # BEFORE any argmin or lookup.
+        qc = F.broadcast(q.select(F.col(coarse).alias("q_coarse")))
+        e = e.crossJoin(qc).filter(F.col(coarse) == F.col("q_coarse"))
+    e = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+
+    def code_col(i: int):
+        sub = F.slice(F.col("emb"), i * d_sub + 1, d_sub)
+        return F.array_min(
+            F.transform(
+                F.col(f"cb_{i}"),
+                lambda ct: F.struct(
+                    (
+                        _dot(ct["c"], ct["c"]) - F.lit(2.0) * _dot(sub, ct["c"])
+                    ).alias("s"),
+                    ct["cluster"].alias("cluster"),
+                ),
+            )
+        )["cluster"]
+
+    score = F.element_at(F.col("t_0"), code_col(0))
     for i in range(1, m):
-        score = score + F.element_at(F.col(f"t_{i}"), F.col(f"code_{i}"))
+        score = score + F.element_at(F.col(f"t_{i}"), code_col(i))
     return (
-        codes.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(packed))
+        e.crossJoin(F.broadcast(packed))
         .select("vec_id", score.alias("s"))
         .orderBy(F.desc("s"), "vec_id")
         .limit(n)
@@ -4160,7 +4205,9 @@ def train_corpus_ccnet_outcomes(spark, sf_dir) -> DataFrame:
     the same survivor-fit discipline as train_corpus_semantic_filtered).
 
     Per-doc verdict: 'dropped_duplicate' for non-canonical copies, else the
-    doc's head/middle/tail bucket; language prediction rides along so the
+    doc's head/middle/tail bucket ('unscored' for the <2-token survivors
+    lm_perplexity's domain rule leaves NULL — outcomes PARTITION the
+    corpus); language prediction rides along so the
     rollup is the per-(pred, outcome) table CCNet publishes per language.
     Plan shape: one md5 groupBy + fingerprint join-back (the dedup_exact
     core), row-local langid, the LM chain's two broadcast joins + one
@@ -4187,8 +4234,11 @@ def train_corpus_ccnet_outcomes(spark, sf_dir) -> DataFrame:
         .select(
             "doc_id",
             langid_pred_col().alias("pred"),
+            # <2-token survivors get NULL ppl_bucket (lm_perplexity's
+            # explicit domain) — surface them as 'unscored' so outcomes
+            # PARTITION the corpus instead of leaking a NULL row
             F.when(F.col("is_dup"), "dropped_duplicate")
-            .otherwise(F.col("ppl_bucket"))
+            .otherwise(F.coalesce(F.col("ppl_bucket"), F.lit("unscored")))
             .alias("outcome"),
         )
     )
@@ -4216,7 +4266,7 @@ def train_corpus_ccnet_outcomes(spark, sf_dir) -> DataFrame:
       SELECT l.doc_id,
              {_langid_pred_sql('l.text')} AS pred,
              CASE WHEN l.is_dup THEN 'dropped_duplicate'
-                  ELSE {_LM_BUCKET_CASE} END AS outcome
+                  ELSE COALESCE({_LM_BUCKET_CASE}, 'unscored') END AS outcome
       FROM lab l LEFT JOIN costs c USING (doc_id)
     ) GROUP BY pred, outcome
     """,

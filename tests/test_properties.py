@@ -135,18 +135,19 @@ def test_lm_quantized_pair_cost_nonnegative_within_bound(c1, c2):
 
 
 @settings(max_examples=300, deadline=None)
-@given(st.integers(0, 2**62))
-def test_knuth_gumbel_key_arithmetic_stays_in_int64(doc_id):
-    """The DSIR resample key's hash arithmetic must stay inside int64 for
-    any plausible doc_id (the 31-bit mask documented at _KNUTH), and the
-    Gumbel term must be finite — u can never reach 0 or 1 because of the
-    +0.5 half-bucket offset."""
+@given(st.one_of(st.integers(0, 2**62), st.text(max_size=24)))
+def test_dsir_gumbel_uniform_is_type_agnostic_and_finite(doc_id):
+    """The DSIR resample key's uniform is md5 of the STRING id (so string
+    and numeric doc_ids both get real keys — the numeric-Knuth form
+    silently NULLed on strings), stays inside int64, and the Gumbel term
+    is finite: u can never reach 0 or 1 because of the +0.5 half-bucket
+    offset over an exact 32-bit hash."""
+    import hashlib
     import math
 
-    KNUTH = 2654435761
-    masked = (doc_id % 2**31) * KNUTH
-    assert masked < 2**63  # no overflow before the % 2**32
-    u = ((masked % 2**32) + 0.5) / 2**32
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+    assert 0 <= h < 2**32  # 8 hex chars: exact 32-bit range, no overflow
+    u = (h + 0.5) / 2**32
     assert 0.0 < u < 1.0
     g = -math.log(-math.log(u))
     assert math.isfinite(g)
