@@ -3559,7 +3559,7 @@ def dsir_score(docs: DataFrame, weights: DataFrame) -> DataFrame:
     4096-row weight table → integer per-doc sum (one (doc_id, partial_sum)
     exchange, map-side combined — the quality_model_score_join plan shape).
     Adds the deterministic Gumbel resampling key: score + round(1e4 *
-    -ln(-ln(u))) with u the Knuth-hash uniform of doc_id."""
+    -ln(-ln(u))) with u the md5-of-string-id uniform (id-type-agnostic)."""
     toks = F.split(F.col("text"), " ")
     ex = docs.select(
         "doc_id", "source", F.size(toks).alias("n_tokens"), F.explode(toks).alias("tok")
