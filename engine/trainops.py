@@ -3869,8 +3869,22 @@ def pq_adc_topk(
     TakeOrdered path.  Scores are bit-identical across engines: quantized
     centroids (round-6 means), fixed left-fold dot products, fixed t_0+…+
     t_{M-1} addition order."""
-    d_sub = dims // m
     _, cents = pq_encode(emb, m=m, k=k, dims=dims)
+    return _pq_adc_rank(emb, cents, n=n, m=m, dims=dims, coarse=coarse)
+
+
+def _pq_adc_rank(
+    emb: DataFrame,
+    cents: list[DataFrame],
+    n: int = 10,
+    m: int = _PQ_M,
+    dims: int = _PQ_DIMS,
+    coarse: str | None = None,
+) -> DataFrame:
+    """The shared ADC scoring body (pq_adc_topk and the sampled-fit front
+    both rank through this; only where the codebooks come FROM differs).
+    """
+    d_sub = dims // m
     # Each centroid frame must have exactly ONE consumer: a naive plan
     # feeds cents[i] to both the encode row and the ADC table, and without
     # a lineage cut every Lloyd fit executes twice (verified: 8 init
@@ -4361,3 +4375,116 @@ def dsir_select_threshold(
         .limit(residual)
     )
     return above.unionByName(edge)
+
+
+def pq_fit_sampled(
+    emb: DataFrame,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    dims: int = _PQ_DIMS,
+    sample_bp: int = 2_500,
+) -> list[DataFrame]:
+    """PQ codebooks fit on a DETERMINISTIC sample — the production fit
+    path: the published method fits on a sample (codebooks describe the
+    space, not the corpus), and the receipt prices it honestly —
+    BENCH/ab_pq_k256_r5.json (128k vectors, K=256, fit+encode interleaved
+    best-of-2, burns 2.71/2.78): full fit 88.8 s vs 25% sampled fit
+    63.3 s = 1.4×; the per-vector ENCODE (k·m dot products) dominates at
+    K=256 (~55 s of both arms, linear-estimate), so the sampling win is
+    the fit's corpus-pass share and grows with corpus:sample ratio — at
+    10^12 docs the fit sample is a fixed ~10^6 vectors and the fit cost
+    vanishes entirely.  The sample is the Knuth-hash
+    bucket filter over vec_id (sample_bp basis points — the
+    sample_stratified discipline: no rand(), so task retries and re-runs
+    fit IDENTICAL codebooks); encode everything with pq_encode_fused /
+    _pq_adc_rank against these frames."""
+    keep = (
+        ((F.col("vec_id") % F.lit(2**31)) * F.lit(_KNUTH)) % F.lit(2**32)
+        % F.lit(10_000)
+        < F.lit(sample_bp)
+    )
+    sample = emb.filter(keep)
+    d_sub = dims // m
+    cents = []
+    for i in range(m):
+        sub = sample.select(
+            "vec_id", F.slice("embedding", i * d_sub + 1, d_sub).alias("embedding")
+        )
+        _, c = kmeans_fit(sub, k=k)
+        cents.append(c)
+    return cents
+
+
+def _pq_sampled_sql(n: int = 10, sample_bp: int = 2_500) -> str:
+    """Oracle twin of pq_fit_sampled + _pq_adc_rank: the Lloyd chains fit
+    on the SAMPLE CTE, a separate full-corpus assignment (enc{i}) encodes
+    EVERY vector against each chain's final centroids, then the usual ADC
+    tables/join/top-n."""
+    d_sub = _PQ_DIMS // _PQ_M
+    parts, joins = [], []
+    parts.append(
+        f"""samp AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE ((vec_id % 2147483648) * {_KNUTH}) % 4294967296 % 10000
+            < {sample_bp})"""
+    )
+    for i in range(_PQ_M):
+        lo, hi = i * d_sub + 1, (i + 1) * d_sub
+        parts.append(
+            f"sub{i} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
+            f"FROM samp)"
+        )
+        parts.append(
+            _kmeans_sql_ctes(k=_PQ_K, dims=d_sub, src=f"sub{i}", prefix=f"s{i}")
+        )
+        parts.append(
+            f"""full{i} AS (
+      SELECT vec_id, list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) AS emb
+      FROM embeddings)"""
+        )
+        parts.append(
+            f"""enc{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(c.emb, c.emb)
+                          - 2 * list_dot_product(e.emb, c.emb),
+                          c.cluster) AS rn
+        FROM full{i} e, s{i}c{_KMEANS_ITERS - 1} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"q{i} AS (SELECT list_transform(embedding[{lo}:{hi}], "
+            f"x -> x::DOUBLE) AS q FROM embeddings WHERE vec_id = 0)"
+        )
+        parts.append(
+            f"t{i} AS (SELECT c.cluster, list_dot_product(c.emb, q.q) AS t "
+            f"FROM s{i}c{_KMEANS_ITERS - 1} c, q{i} q)"
+        )
+        joins.append(
+            f"JOIN enc{i} x{i} USING (vec_id) "
+            f"JOIN t{i} ON t{i}.cluster = x{i}.cluster"
+        )
+    ctes = ",\n    ".join(parts)
+    join_sql = "\n      ".join(joins)
+    return f"""
+    WITH {ctes},
+    scored AS (
+      SELECT v.vec_id, t0.t + t1.t + t2.t + t3.t AS s
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id <> 0) v
+      {join_sql}
+    )
+    SELECT vec_id, round(s, 6) AS pq_score FROM scored
+    ORDER BY s DESC, vec_id LIMIT {n}
+    """
+
+
+@_local_q(
+    "sim_pq_sampled_topk",
+    "similarity search — PQ/ADC with codebooks fit on a deterministic "
+    "Knuth-hash 25% sample (the production fit path: codebooks describe "
+    "the space, not the corpus), every vector encoded and ADC-ranked",
+    _pq_sampled_sql(),
+)
+def sim_pq_sampled_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return _pq_adc_rank(emb, pq_fit_sampled(emb))
