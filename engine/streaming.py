@@ -247,6 +247,25 @@ def stream_curate(
     return stream_dedup_exact(kept, watermark=watermark, ts_col=ts_col)
 
 
+def stream_quality_model(doc_stream: DataFrame, threshold: int = 0) -> DataFrame:
+    """The model-based quality filter on the ingest path: scores are the
+    same INTEGER-exact hashing-trick expression as the batch
+    trainops.quality_model_score (row-local — the closed form runs inside
+    the stream's scan with no state and no stream-static join), so a doc
+    gets the identical score and verdict at ingest as overnight.  A
+    LEARNED weight table deploys on this path as a stream-static broadcast
+    join against quality_model_weights — same seam as the batch join form
+    (BENCH/ab_model_weights_r5.json), left out here because the closed
+    form is the measured default.  Emits the scored stream with `kept`;
+    filter or route on it downstream."""
+    from pyspark.sql import functions as F
+
+    from engine.trainops import quality_model_score
+
+    scored = quality_model_score(doc_stream).drop("kept")
+    return scored.withColumn("kept", F.col("score_sum") > threshold)
+
+
 def stream_extraction(
     spark: SparkSession,
     spans_source_dir: str,

@@ -434,3 +434,57 @@ def test_stream_curate_matches_batch_rowlocal_verdicts(spark, tmp_path):
     assert outcomes["d3"] == "dropped_repetition"
     for d in ("d0", "d4", "d5"):
         assert outcomes[d] in ("kept", "dropped_duplicate")
+
+
+def test_stream_quality_model_matches_batch_scores(spark, tmp_path):
+    """The ingest-path model scorer must produce per-doc integer scores and
+    verdicts IDENTICAL to batch quality_model_score over the same rows
+    (shared closed-form expression), running stateless in a micro-batched
+    stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.streaming import stream_quality_model
+    from engine.trainops import quality_model_score
+
+    rows = [
+        {"doc_id": f"d{i}", "source": "s",
+         "text": " ".join(f"m{i}w{j}" for j in range(12))}
+        for i in range(30)
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    pa_schema = pa.schema(
+        [("doc_id", pa.string()), ("source", pa.string()), ("text", pa.string())]
+    )
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pylist(rows[i * 10 : (i + 1) * 10], schema=pa_schema),
+            src / f"part-{i}.parquet",
+        )
+    batch = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "scored"
+    q = (
+        stream_quality_model(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck-qm"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["score_sum"], r["kept"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        r["doc_id"]: (r["score_sum"], r["kept"])
+        for r in quality_model_score(batch).collect()
+    }
+    assert got == want and len(got) == 30
