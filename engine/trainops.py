@@ -4488,3 +4488,121 @@ def _pq_sampled_sql(n: int = 10, sample_bp: int = 2_500) -> str:
 def sim_pq_sampled_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return _pq_adc_rank(emb, pq_fit_sampled(emb))
+
+def dsir_scores_multi(
+    spark: SparkSession,
+    targets: dict[str, DataFrame],
+    raw_sample: DataFrame,
+    corpus: DataFrame,
+) -> DataFrame:
+    """Multi-target DSIR (the paper's multi-distribution variant): one
+    weight table PER TARGET DOMAIN, but the domains' weights are joined
+    into ONE (bucket, w_<domain>...) broadcast frame so the corpus is
+    exploded, joined and aggregated EXACTLY ONCE regardless of how many
+    domains score it — per-domain importance comes out as one integer
+    column each, plus best_domain (argmax, ties to the first domain in
+    dict order).  Downstream per-domain selection reuses dsir_select /
+    dsir_select_threshold on the chosen column."""
+    names = list(targets)
+    merged = None
+    for name, target in targets.items():
+        w = dsir_weights(spark, target, raw_sample).withColumnRenamed(
+            "weight", f"w_{name}"
+        )
+        merged = w if merged is None else merged.join(w, "bucket")
+    toks = F.split(F.col("text"), " ")
+    ex = corpus.select(
+        "doc_id", "source", F.size(toks).alias("n_tokens"), F.explode(toks).alias("tok")
+    ).select(
+        "doc_id", "source", "n_tokens", _dsir_bucket(F.col("tok")).alias("bucket")
+    )
+    agg = (
+        ex.join(F.broadcast(merged), "bucket")
+        .groupBy("doc_id", "source", "n_tokens")
+        .agg(*[F.sum(f"w_{n}").alias(f"score_{n}") for n in names])
+    )
+    best = None
+    for n in names:
+        cond = F.lit(True)
+        for o in names:
+            if o != n:
+                # strict for earlier domains, >= for later → first wins ties
+                op = (
+                    F.col(f"score_{n}") >= F.col(f"score_{o}")
+                    if names.index(o) > names.index(n)
+                    else F.col(f"score_{n}") > F.col(f"score_{o}")
+                )
+                cond = cond & op
+        best = F.when(cond, n) if best is None else best.when(cond, n)
+    return agg.withColumn("best_domain", best)
+
+
+@_local_q(
+    "text_dsir_multi",
+    "training-data selection — multi-target DSIR: per-domain importance "
+    "weight tables merged into ONE broadcast frame, so every domain's "
+    "integer score comes out of a single corpus pass; best_domain argmax",
+    f"""
+    WITH tgta AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 = 1),
+    tgtb AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 = 2),
+    raws AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 23 NOT IN (1, 2) AND doc_id % 29 = 2),
+    corpus AS (SELECT doc_id, source, text FROM documents
+               WHERE doc_id % 23 NOT IN (1, 2)),
+    rtok AS (SELECT (('0x' || substr(md5(t), 1, 4))::BIGINT) % {_DSIR_BUCKETS}
+                      AS bucket
+             FROM raws, unnest(string_split(text, ' ')) AS u(t)),
+    rc AS (SELECT bucket, count(*) AS cr FROM rtok GROUP BY bucket),
+    atok AS (SELECT (('0x' || substr(md5(t), 1, 4))::BIGINT) % {_DSIR_BUCKETS}
+                      AS bucket
+             FROM tgta, unnest(string_split(text, ' ')) AS u(t)),
+    ac AS (SELECT bucket, count(*) AS ct FROM atok GROUP BY bucket),
+    btok AS (SELECT (('0x' || substr(md5(t), 1, 4))::BIGINT) % {_DSIR_BUCKETS}
+                      AS bucket
+             FROM tgtb, unnest(string_split(text, ' ')) AS u(t)),
+    bc AS (SELECT bucket, count(*) AS ct FROM btok GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM atok) AS ta,
+                   (SELECT count(*) FROM btok) AS tb,
+                   (SELECT count(*) FROM rtok) AS rt),
+    w AS (
+      SELECT b.range AS bucket,
+             CAST(ROUND({_DSIR_SCALE} * (
+                 ln(COALESCE(ac.ct, 0) + 1) - ln(tot.ta + {_DSIR_BUCKETS})
+               - ln(COALESCE(rc.cr, 0) + 1) + ln(tot.rt + {_DSIR_BUCKETS})
+             )) AS BIGINT) AS w_a,
+             CAST(ROUND({_DSIR_SCALE} * (
+                 ln(COALESCE(bc.ct, 0) + 1) - ln(tot.tb + {_DSIR_BUCKETS})
+               - ln(COALESCE(rc.cr, 0) + 1) + ln(tot.rt + {_DSIR_BUCKETS})
+             )) AS BIGINT) AS w_b
+      FROM range({_DSIR_BUCKETS}) b
+      LEFT JOIN ac ON ac.bucket = b.range
+      LEFT JOIN bc ON bc.bucket = b.range
+      LEFT JOIN rc ON rc.bucket = b.range, tot
+    ),
+    ctok AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             unnest(list_transform(string_split(text, ' '),
+               t -> (('0x' || substr(md5(t), 1, 4))::BIGINT) % {_DSIR_BUCKETS}))
+               AS bucket
+      FROM corpus
+    )
+    SELECT c.doc_id, c.source, c.n_tokens,
+           CAST(SUM(w.w_a) AS BIGINT) AS score_a,
+           CAST(SUM(w.w_b) AS BIGINT) AS score_b,
+           CASE WHEN CAST(SUM(w.w_a) AS BIGINT) >= CAST(SUM(w.w_b) AS BIGINT)
+                THEN 'a' ELSE 'b' END AS best_domain
+    FROM ctok c JOIN w USING (bucket)
+    GROUP BY c.doc_id, c.source, c.n_tokens
+    """,
+)
+def text_dsir_multi(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    in_t = (F.col("doc_id") % 23 == 1) | (F.col("doc_id") % 23 == 2)
+    targets = {
+        "a": d.filter(F.col("doc_id") % 23 == 1),
+        "b": d.filter(F.col("doc_id") % 23 == 2),
+    }
+    raw_sample = d.filter(~in_t & (F.col("doc_id") % 29 == 2))
+    corpus = d.filter(~in_t)
+    return dsir_scores_multi(spark, targets, raw_sample, corpus)

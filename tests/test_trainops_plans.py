@@ -1231,3 +1231,45 @@ def F_mod(df, m, r):
     from pyspark.sql import functions as F
 
     return (F.col("doc_id") % m) == r
+
+
+def test_dsir_multi_routes_docs_to_their_domain(spark):
+    """Multi-target DSIR ground truth: corpus docs written in domain A's
+    vocabulary must get best_domain 'a', domain B's 'b'; and the scoring
+    pass must join ONE merged weight frame (single corpus explode/agg —
+    exactly one corpus-side hashpartitioning exchange for the per-doc sums
+    regardless of domain count)."""
+    import pandas as pd
+
+    a_words = " ".join(f"alpha{j}" for j in range(25))
+    b_words = " ".join(f"bravo{j}" for j in range(25))
+    mk = lambda i, t: {"doc_id": i, "source": "c", "text": t}  # noqa: E731
+    targets = {
+        "a": spark.createDataFrame(pd.DataFrame([mk(i, a_words) for i in range(4)])),
+        "b": spark.createDataFrame(pd.DataFrame([mk(10 + i, b_words) for i in range(4)])),
+    }
+    raw = spark.createDataFrame(
+        pd.DataFrame([mk(100 + i, "noise" + str(i) + " filler common") for i in range(6)])
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [mk(200 + i, a_words) for i in range(5)]
+            + [mk(300 + i, b_words) for i in range(5)]
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in trainops.dsir_scores_multi(spark, targets, raw, corpus).collect()
+    }
+    assert len(out) == 10
+    for i in range(200, 205):
+        assert out[i]["best_domain"] == "a" and out[i]["score_a"] > out[i]["score_b"]
+    for i in range(300, 305):
+        assert out[i]["best_domain"] == "b" and out[i]["score_b"] > out[i]["score_a"]
+    plan = (
+        trainops.dsir_scores_multi(spark, targets, raw, corpus)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # corpus-side: exactly one hash exchange (the per-doc sum); the tiny
+    # weight-fit exchanges key on `bucket`
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan[:2000]
