@@ -4606,3 +4606,148 @@ def text_dsir_multi(spark, sf_dir):
     raw_sample = d.filter(~in_t & (F.col("doc_id") % 29 == 2))
     corpus = d.filter(~in_t)
     return dsir_scores_multi(spark, targets, raw_sample, corpus)
+
+def lm_perplexity_grouped(
+    corpus: DataFrame, reference: DataFrame, group_col: str = "pred"
+) -> DataFrame:
+    """Per-GROUP LM perplexity — the published CCNet discipline: one
+    reference model per language, each doc scored against ITS OWN group's
+    model (a single pooled model makes the majority language's n-grams
+    look 'clean' for every language).  Both frames must carry
+    ``group_col``; the fit is the same hashed-bigram decomposition as
+    lm_perplexity with the group woven through every key: unigram table on
+    a dense (group × 4096) spine, bigram table keyed (group, pk), scoring
+    joins on (group, bucket) — still broadcast-sized (|groups| × 4096 and
+    the groups' seen bigrams), still one corpus-side exchange.  Buckets
+    use the shared cutoffs; production CCNet derives per-language cutoffs
+    the same way the shared ones were derived (COVERAGE.md)."""
+    b = F.lit(_DSIR_BUCKETS)
+    spark = corpus.sparkSession
+    ref_toks = reference.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).select("grp", _dsir_bucket(F.col("tok")).alias("b1"))
+    c1 = ref_toks.groupBy("grp", "b1").agg(F.count("*").alias("c1"))
+    spine = (
+        reference.select(F.col(group_col).alias("grp"))
+        .distinct()
+        .crossJoin(spark.range(_DSIR_BUCKETS).select(F.col("id").alias("b1")))
+    )
+    a_table = spine.join(c1, ["grp", "b1"], "left").select(
+        "grp",
+        "b1",
+        F.round(
+            F.lit(_DSIR_SCALE)
+            * F.log(F.coalesce(F.col("c1"), F.lit(0)) + b.cast("double"))
+        , 0).cast("long").alias("a_w"),
+    )
+    c_table = (
+        reference.select(
+            F.col(group_col).alias("grp"), F.explode(_lm_pair_keys()).alias("pk")
+        )
+        .groupBy("grp", "pk")
+        .agg(F.count("*").alias("c2"))
+        .select(
+            "grp",
+            "pk",
+            F.round(
+                F.lit(_DSIR_SCALE) * F.log(F.col("c2") + F.lit(1).cast("double")), 0
+            ).cast("long").alias("c_w"),
+        )
+    )
+    pairs = corpus.select(
+        "doc_id", F.col(group_col).alias("grp"), F.explode(_lm_pair_keys()).alias("pk")
+    ).select(
+        "doc_id", "grp", "pk", F.floor(F.col("pk") / b).cast("long").alias("b1")
+    )
+    costs = (
+        pairs.join(F.broadcast(a_table), ["grp", "b1"])
+        .join(F.broadcast(c_table), ["grp", "pk"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("a_w") - F.coalesce(F.col("c_w"), F.lit(0))).alias("lm_cost"),
+        )
+    )
+    avg = F.expr("lm_cost div n_pairs")
+    return (
+        corpus.select("doc_id", "source", F.col(group_col))
+        .join(costs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col(group_col),
+            "n_pairs",
+            "lm_cost",
+            avg.alias("avg_cost"),
+            F.when(avg < _LM_T_HEAD, "head")
+            .when(avg < _LM_T_MIDDLE, "middle")
+            .when(avg.isNotNull(), "tail")
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+@_local_q(
+    "text_lm_perplexity_by_lang",
+    "training-data quality — CCNet per-LANGUAGE LM perplexity: one "
+    "hashed-bigram reference model per predicted language, every doc "
+    "scored against its own language's model (group woven through the "
+    "weight-table keys; still broadcast joins + one exchange)",
+    f"""
+    WITH pd AS (SELECT doc_id, source, text,
+                       {_langid_pred_sql('text')} AS pred
+                FROM documents),
+    refp AS (SELECT * FROM pd WHERE doc_id % 31 = 3),
+    rt AS (SELECT pred AS grp, {_LM_BUCKET_SQL} AS b1
+           FROM refp, unnest(string_split(text, ' ')) AS u(t)),
+    c1 AS (SELECT grp, b1, count(*) AS c FROM rt GROUP BY grp, b1),
+    a_t AS (
+      SELECT g.grp, b.range AS b1,
+             CAST(ROUND({_DSIR_SCALE} * ln(COALESCE(c1.c, 0)
+                                           + {_DSIR_BUCKETS})) AS BIGINT) AS a_w
+      FROM (SELECT DISTINCT pred AS grp FROM refp) g
+      CROSS JOIN range({_DSIR_BUCKETS}) b
+      LEFT JOIN c1 ON c1.grp = g.grp AND c1.b1 = b.range),
+    rp AS (
+      SELECT grp, unnest(list_transform(
+               generate_series(1, len(bs) - 1),
+               i -> bs[i] * {_DSIR_BUCKETS} + bs[i+1])) AS pk
+      FROM (SELECT pred AS grp,
+                   list_transform(string_split(text, ' '),
+                                  t -> {_LM_BUCKET_SQL}) AS bs
+            FROM refp)
+      WHERE len(bs) >= 2),
+    c_t AS (
+      SELECT grp, pk,
+             CAST(ROUND({_DSIR_SCALE} * ln(count(*) + 1)) AS BIGINT) AS c_w
+      FROM rp GROUP BY grp, pk),
+    cp AS (
+      SELECT doc_id, grp, pk FROM (
+        SELECT doc_id, pred AS grp, unnest(list_transform(
+                 generate_series(1, len(bs) - 1),
+                 i -> bs[i] * {_DSIR_BUCKETS} + bs[i+1])) AS pk
+        FROM (SELECT doc_id, pred,
+                     list_transform(string_split(text, ' '),
+                                    t -> {_LM_BUCKET_SQL}) AS bs
+              FROM pd)
+        WHERE len(bs) >= 2)),
+    costs AS (
+      SELECT cp.doc_id, count(*) AS n_pairs,
+             CAST(SUM(a_t.a_w - COALESCE(c_t.c_w, 0)) AS BIGINT) AS lm_cost
+      FROM cp
+      JOIN a_t ON a_t.grp = cp.grp AND a_t.b1 = cp.pk // {_DSIR_BUCKETS}
+      LEFT JOIN c_t ON c_t.grp = cp.grp AND c_t.pk = cp.pk
+      GROUP BY cp.doc_id)
+    SELECT d.doc_id, d.source, d.pred, c.n_pairs, c.lm_cost,
+           c.lm_cost // c.n_pairs AS avg_cost,
+           {_LM_BUCKET_CASE} AS ppl_bucket
+    FROM pd d LEFT JOIN costs c USING (doc_id)
+    """,
+)
+def text_lm_perplexity_by_lang(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pd_ = d.withColumn("pred", langid_pred_col())
+    return lm_perplexity_grouped(
+        pd_, pd_.filter(F.col("doc_id") % 31 == 3), group_col="pred"
+    ).withColumnRenamed("grp", "pred")

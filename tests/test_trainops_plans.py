@@ -1273,3 +1273,36 @@ def test_dsir_multi_routes_docs_to_their_domain(spark):
     # corpus-side: exactly one hash exchange (the per-doc sum); the tiny
     # weight-fit exchanges key on `bucket`
     assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan[:2000]
+
+
+def test_lm_grouped_scores_against_own_groups_model(spark):
+    """Per-group LM ground truth: a doc scored under ITS group's model is
+    cheap when written in that group's vocabulary and expensive when not;
+    a doc whose group has no reference model carries NULL (unscored) —
+    and the group key rides every weight-table join (no cross-group
+    leakage)."""
+    import pandas as pd
+
+    x_text = "xray xenon xylem xhosa " * 10
+    y_text = "yak yurt yeast yonder " * 10
+    ref = spark.createDataFrame(
+        pd.DataFrame(
+            [{"doc_id": i, "source": "r", "pred": "x", "text": x_text.strip()} for i in range(4)]
+            + [{"doc_id": 10 + i, "source": "r", "pred": "y", "text": y_text.strip()} for i in range(4)]
+        )
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": 100, "source": "c", "pred": "x", "text": x_text.strip()},
+                {"doc_id": 101, "source": "c", "pred": "x", "text": y_text.strip()},
+                {"doc_id": 102, "source": "c", "pred": "z", "text": x_text.strip()},
+            ]
+        )
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in trainops.lm_perplexity_grouped(corpus, ref, group_col="pred").collect()
+    }
+    assert out[100]["avg_cost"] < out[101]["avg_cost"]
+    assert out[102]["n_pairs"] is None and out[102]["ppl_bucket"] is None
