@@ -266,6 +266,20 @@ def stream_quality_model(doc_stream: DataFrame, threshold: int = 0) -> DataFrame
     return scored.withColumn("kept", F.col("score_sum") > threshold)
 
 
+def stream_lm_perplexity(doc_stream: DataFrame, weight_maps: DataFrame) -> DataFrame:
+    """The CCNet LM perplexity filter on the ingest path: the reference
+    model is fit BATCH-side (trainops.lm_weight_maps — nightly, from the
+    curated corpus) and enters the stream as a one-row static broadcast of
+    two lookup maps; per-doc cost is then a row-local array aggregate
+    (trainops.lm_perplexity_maps), so the stream stays STATELESS — the
+    join form's per-doc sum would be a stateful streaming aggregation.
+    Same integer costs and buckets as the batch scorer, doc-for-doc
+    (differential + micro-batch tests)."""
+    from engine.trainops import lm_perplexity_maps
+
+    return lm_perplexity_maps(doc_stream, weight_maps)
+
+
 def stream_extraction(
     spark: SparkSession,
     spans_source_dir: str,

@@ -4751,3 +4751,95 @@ def text_lm_perplexity_by_lang(spark, sf_dir):
     return lm_perplexity_grouped(
         pd_, pd_.filter(F.col("doc_id") % 31 == 3), group_col="pred"
     ).withColumnRenamed("grp", "pred")
+
+def lm_weight_maps(reference: DataFrame) -> DataFrame:
+    """The lm_perplexity model packed as ONE row of two maps — a_map
+    (bucket → unigram weight, 4096 entries) and c_map (pair key → bigram
+    weight, the reference's seen bigrams).  In this form the per-doc cost
+    is a row-local array aggregate over the doc's pair keys (element_at
+    lookups — the PQ packed-row idiom), so scoring needs NO explode, NO
+    join and NO aggregation state: it runs inside a scan, batch or
+    STREAMING (where the per-doc sum of the join form would be a stateful
+    streaming aggregation)."""
+    b = F.lit(_DSIR_BUCKETS)
+    ref_toks = reference.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select(_dsir_bucket(F.col("tok")).alias("b1"))
+    a_row = (
+        reference.sparkSession.range(_DSIR_BUCKETS)
+        .select(F.col("id").alias("b1"))
+        .join(ref_toks.groupBy("b1").agg(F.count("*").alias("c1")), "b1", "left")
+        .select(
+            "b1",
+            F.round(
+                F.lit(_DSIR_SCALE)
+                * F.log(F.coalesce(F.col("c1"), F.lit(0)) + b.cast("double"))
+            , 0).cast("long").alias("a_w"),
+        )
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("b1", "a_w"))).alias("a_map")
+        )
+    )
+    c_row = (
+        reference.select(F.explode(_lm_pair_keys()).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("c2"))
+        .select(
+            "pk",
+            F.round(
+                F.lit(_DSIR_SCALE) * F.log(F.col("c2") + F.lit(1).cast("double")), 0
+            ).cast("long").alias("c_w"),
+        )
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("pk", "c_w"))).alias("c_map")
+        )
+    )
+    return a_row.crossJoin(c_row)
+
+
+def lm_perplexity_maps(docs: DataFrame, weight_maps: DataFrame) -> DataFrame:
+    """lm_perplexity's scoring half over the packed weight-map row —
+    row-local (one broadcast crossJoin, zero exchanges on the doc side),
+    cost-for-cost equal to the join form (differential test).  This is the
+    form the STREAMING ingest front uses (streaming.stream_lm_perplexity):
+    the maps come from a batch-side fit and enter the stream as a static
+    broadcast."""
+    b = F.lit(_DSIR_BUCKETS)
+    cost = _let(
+        _lm_pair_keys(),
+        lambda pks: F.when(
+            F.size(pks) >= 1,
+            F.aggregate(
+                pks,
+                F.lit(0).cast("long"),
+                lambda acc, pk: acc
+                + F.element_at(F.col("a_map"), F.floor(pk / b).cast("long"))
+                - F.coalesce(F.element_at(F.col("c_map"), pk), F.lit(0).cast("long")),
+            ),
+        ),
+    )
+    n_pairs_raw = F.greatest(
+        F.size(F.split(F.col("text"), " ")) - F.lit(1), F.lit(0)
+    )
+    n_pairs = F.when(n_pairs_raw >= 1, n_pairs_raw)
+    avg = F.expr("lm_cost div n_pairs")
+    return (
+        docs.crossJoin(F.broadcast(weight_maps))
+        .select(
+            "doc_id",
+            "source",
+            n_pairs.alias("n_pairs"),
+            cost.alias("lm_cost"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_pairs",
+            "lm_cost",
+            avg.alias("avg_cost"),
+            F.when(avg < _LM_T_HEAD, "head")
+            .when(avg < _LM_T_MIDDLE, "middle")
+            .when(avg.isNotNull(), "tail")
+            .alias("ppl_bucket"),
+        )
+    )

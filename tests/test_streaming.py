@@ -488,3 +488,55 @@ def test_stream_quality_model_matches_batch_scores(spark, tmp_path):
         for r in quality_model_score(batch).collect()
     }
     assert got == want and len(got) == 30
+
+
+def test_stream_lm_perplexity_matches_batch(spark, tmp_path):
+    """The ingest-path LM filter: reference model fit batch-side, shipped
+    into the stream as a 1-row static broadcast of lookup maps — streamed
+    per-doc costs/buckets must equal the batch join-form scorer
+    doc-for-doc, with no streaming aggregation state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.streaming import stream_lm_perplexity
+    from engine.trainops import lm_perplexity, lm_weight_maps
+
+    ref_text = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        {"doc_id": f"d{i}", "source": "s",
+         "text": ref_text.strip() if i % 3 == 0
+         else " ".join(f"z{i}q{j}" for j in range(10))}
+        for i in range(24)
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    pa_schema = pa.schema(
+        [("doc_id", pa.string()), ("source", pa.string()), ("text", pa.string())]
+    )
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pylist(rows[i * 8 : (i + 1) * 8], schema=pa_schema),
+            src / f"part-{i}.parquet",
+        )
+    batch = spark.read.parquet(str(src))
+    ref = batch.filter("doc_id IN ('d0','d3','d6','d9')")
+    maps = lm_weight_maps(ref)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "scored-lm"
+    q = (
+        stream_lm_perplexity(stream, maps)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck-lm"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: tuple(r)[1:] for r in spark.read.parquet(str(out)).collect()}
+    want = {r["doc_id"]: tuple(r)[1:] for r in lm_perplexity(batch, ref).collect()}
+    assert got == want and len(got) == 24

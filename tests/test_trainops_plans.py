@@ -1306,3 +1306,20 @@ def test_lm_grouped_scores_against_own_groups_model(spark):
     }
     assert out[100]["avg_cost"] < out[101]["avg_cost"]
     assert out[102]["n_pairs"] is None and out[102]["ppl_bucket"] is None
+
+
+def test_lm_maps_form_matches_join_form(spark):
+    """The packed-map LM scorer (the streaming-front form) must produce
+    cost-for-cost identical rows to the broadcast-join form on the real
+    documents table, and its doc side must be exchange-free (one broadcast
+    crossJoin of the 1-row maps frame, no explode/join/agg)."""
+    d = trainops.load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    ref = d.filter((trainops.F.col("doc_id") % 31) == 3)
+    join_form = trainops.lm_perplexity(d, ref)
+    maps_form = trainops.lm_perplexity_maps(d, trainops.lm_weight_maps(ref))
+    a = {tuple(r) for r in join_form.collect()}
+    b = {tuple(r) for r in maps_form.collect()}
+    assert a == b and len(a) > 0
+    plan = maps_form._jdf.queryExecution().executedPlan().toString()
+    # doc side: no hash exchange (the tiny map-fit subtree has its own)
+    assert "Exchange hashpartitioning(doc_id" not in plan
