@@ -271,6 +271,34 @@ def refresh_pq_codes_sql(codes_view: str = "pq_codes_new", catalog: str = "lake"
     """
 
 
+def weight_tables_ddl(catalog: str = "lake") -> list[str]:
+    """The model-as-data artifacts the quality/selection scorers join
+    against — a learned fastText/LR table (quality_model_score_join), DSIR
+    per-domain log-ratio weights (dsir_weights / dsir_scores_multi), and
+    the CCNet LM's unigram/bigram tables (lm_perplexity) all ship as
+    (key → integer weight) rows.  Tiny (≤ 64k rows each, bigrams bounded
+    by the reference sample), so unpartitioned single-file tables that
+    broadcast whole; a nightly refit INSERT OVERWRITEs the snapshot, and
+    time-traveling the snapshot IS the model version history."""
+    return [
+        f"""
+    CREATE TABLE IF NOT EXISTS {catalog}.models.quality_weights (
+      bucket INT, weight BIGINT
+    ) USING iceberg
+    """,
+        f"""
+    CREATE TABLE IF NOT EXISTS {catalog}.models.dsir_weights (
+      domain STRING, bucket INT, weight BIGINT
+    ) USING iceberg
+    """,
+        f"""
+    CREATE TABLE IF NOT EXISTS {catalog}.models.lm_bigram_weights (
+      grp STRING, pk BIGINT, c_w BIGINT
+    ) USING iceberg
+    """,
+    ]
+
+
 def expire_runs_sql(expired_run_ids: list[str], catalog: str = "lake") -> list[str]:
     """S7 retention of RUNS: metadata-only partition drops across all output
     tables — io.py expire_runs' atomic per-run removal, Iceberg-side."""
@@ -312,6 +340,7 @@ def parse_checked_statements(run_id: str = "r1") -> list[str]:
             refresh_semantic_cells_sql(),
             pq_codes_ddl(),
             refresh_pq_codes_sql(),
+            *weight_tables_ddl(),
         ]
         + expire_runs_sql([run_id])
     )
