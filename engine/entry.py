@@ -26,6 +26,33 @@ from pyspark.sql.types import BinaryType
 BOILER_SPAN = "Terms of Service | Privacy Policy"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a SLIM frame to the session's core count
+    before a payload-synthesis UDF is attached.
+
+    The corpus builders below derive their rows from the ``documents``
+    parquet — a file small enough to be ONE input split at any sane
+    ``maxPartitionBytes`` — and then attach per-row render/decode UDFs that
+    cost milliseconds each.  Without this, the whole render+decode chain
+    executes on the scan's single task while 31 cores idle (measured: the
+    capstone's blobs side ran 1 partition / 10.6 s; spread it is sub-second
+    per stage).  Guide §2.5 "input skew": repartition immediately after the
+    read, BEFORE the expensive projection — repartitioning after the UDF is
+    attached ships the rendered payloads through the exchange instead of the
+    slim id rows.
+
+    Scale-adaptive: a no-op whenever the input already carries at least
+    ``defaultParallelism`` partitions (the 100 TB case, where documents
+    spans thousands of splits), so the extra exchange exists only when it
+    buys parallelism.  Round-robin (no key) because payloads are pure
+    functions of doc_id — placement is free to be uniform; rows-per-task
+    skew is what we are removing."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document: span0 = doc text, span1 = boilerplate, span2 = tail marker.
     Written into the array in shuffled order (2,0,1) — reassembly must re-sort."""
@@ -281,7 +308,9 @@ def interleaved_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     spans = text_spans.join(
         d.select("doc_id", media_span.alias("mspan")), "doc_id"
     ).select("doc_id", F.concat("spans", F.array("mspan")).alias("spans"))
-    blobs = d.select(ref.alias("media_ref"), _page_payload(F.col("doc_num")).alias("payload"))
+    blobs = _spread(d).select(
+        ref.alias("media_ref"), _page_payload(F.col("doc_num")).alias("payload")
+    )
     return spans, blobs
 
 
@@ -526,7 +555,7 @@ def _media_dedup_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("doc_id") % _MEDIA_DEDUP_CLASSES).alias("cls"),
     )
-    return d.select(
+    return _spread(d).select(
         "media_ref", _page_payload(F.col("cls")).alias("payload")
     )
 
@@ -592,7 +621,7 @@ def _media_neardup_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("doc_id").alias("doc_num"),
     )
-    return d.select(
+    return _spread(d).select(
         "media_ref", _neardup_payload(F.col("doc_num")).alias("payload")
     )
 
@@ -719,7 +748,9 @@ def dedup_media_strip(spark, sf_dir):
         "media_ref",
         F.lit(3).cast("int").alias("offset"),
     )
-    blobs = d.select("media_ref", _strip_corpus_payload(F.col("doc_num")).alias("payload"))
+    blobs = _spread(d).select(
+        "media_ref", _strip_corpus_payload(F.col("doc_num")).alias("payload")
+    )
     groups = media_dedup_features(decode_blobs(blobs))
     out = strip_media_boilerplate(text.unionByName(media), groups)
     return out.select("doc_id", "offset", "kind", "media_ref")
@@ -740,7 +771,7 @@ def _interleaved_curation_corpus(
     eff = F.when(
         (F.col("doc_id") % 10 == 7) & (F.col("doc_id") > 0), F.col("doc_id") - 1
     ).otherwise(F.col("doc_id"))
-    base = d.select(F.col("doc_id").alias("phys_id"), eff.alias("src_id"))
+    base = _spread(d.select(F.col("doc_id").alias("phys_id"), eff.alias("src_id")))
     src = d.select(F.col("doc_id").alias("src_id"), F.col("text").alias("src_text"))
     j = base.join(src, "src_id")
     span = lambda kind, text, ref, off: F.struct(  # noqa: E731
@@ -768,7 +799,11 @@ def _interleaved_curation_corpus(
             span("text", F.lit(BOILER_SPAN), nul, 1),
         ).alias("spans"),
     )
-    blobs = j.select(
+    # blobs need only phys_id (payload is a pure function of it) — build
+    # them straight from the documents frame instead of the mirror join
+    # (inner on src_id, which always matches → identical rows), spread so
+    # the per-doc render+decode UDF chain parallelizes (see _spread).
+    blobs = _spread(d.select(F.col("doc_id").alias("phys_id"))).select(
         F.concat(F.lit("doc-media-"), F.col("phys_id").cast("string")).alias(
             "media_ref"
         ),

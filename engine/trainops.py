@@ -435,36 +435,61 @@ def connected_components(
       ``spark.extraction.checkpointDir`` conf) — localCheckpoint blocks are
       executor-local and die with the executor, which on a 1000-executor run
       of a 15-round loop is a near-certainty; falls back to localCheckpoint
-      only in dir-less local runs.
+      only in dir-less local runs.  Superseded materializations are released
+      EITHER way: checkpoint files are deleted through the Hadoop FS API,
+      and superseded localCheckpoint blocks are unpersisted by RDD id — a
+      long loop must not accumulate O(convergence-checks) cached copies in
+      executor storage memory (storage steals from the unified region and
+      shrinks execution memory for every later stage in the session; the r5
+      leak left ~4 blocks per CC run behind).
     - **Driver round-trips run at a cadence**, not per iteration: each
       ``check_every``-iteration window costs one eager checkpoint job + one
       convergence-test job instead of two jobs per iteration.
-    - **Convergence is a DIRECT fixpoint test**, not a static-window
-      observation (changed r5): at each check the driver counts docs where
-      some neighbor still offers a smaller label.  With a symmetric edge
-      list, zero improvements ⇒ labels are constant along every edge ⇒
-      constant per component ⇒ equal to the component min (the min node's
-      label can never drop below itself).  The old scheme — compare against
-      the previous window's checkpoint — needed a full extra no-change
-      window to fire, systematically overshooting convergence by up to
-      ``check_every`` iterations (the flagship ran 6 iterations + 2
-      checkpoints for a graph that converges at 2).
+    - **Propagation is ONE equi-join + ONE min-aggregation per iteration**:
+      the edge list is checkpointed WITH self-loops, so min(neighbor labels)
+      already includes the node's own label and the old separate
+      left-join-merge step (join + least/coalesce — a third of every
+      iteration's stages) is gone.  Within a window the edges side of the
+      join is an identical subtree each iteration, so ReuseExchange ships
+      it once.
+    - **Convergence is a DIRECT fixpoint test** at each check (r5 design,
+      kept): count docs where some neighbor still offers a smaller label;
+      zero improvements ⇒ labels constant along every edge ⇒ equal to the
+      component min.  The fused-flag and exponential-cadence variants were
+      measured and rejected (PLANS.md §5a) — don\'t retry.
+    - **The graph CONTRACTS at every failed check** (new r6): once a window
+      ends unconverged, the materialized labels become the nodes of a new
+      edge list — distinct (label(a), label(b)) pairs with label(a) ≠
+      label(b) — and the loop continues on that graph, composing the
+      original→label mapping at each contraction.  Every clique, and every
+      chain segment up to ``check_every`` hops, collapses to a point, so
+      both the edge count and the remaining diameter drop by ~the window
+      size per window: the interleaved capstone graph (diameter ~24,
+      organic LSH chains) converges in 6 iterations / 2 windows where flat
+      propagation took 12 / 4, with window 2 running on a ~100-node
+      contracted graph (measured, differential-tested identical labels).
+      Cost: two label joins + a distinct over the already-shuffling slim
+      edge rows, once per failed window — strictly cheaper than the ≥3
+      full-size iterations it replaces.  Graphs that converge inside the
+      first window (the production LSH duplicate-cluster cliques:
+      flagship / dedup_components / incremental all converge at ≤3) never
+      contract and keep their r5 plan shape exactly.
     - **Pointer jumping** (``comp ← min(comp, comp[comp])``) turns on
-      ADAPTIVELY, after the first convergence check fails: from then on
-      label-propagation distance roughly doubles per iteration, so the
-      ``max_iterations`` cap bounds reachable diameter exponentially, not
-      linearly — a pathological near-dup chain at the 10^12-doc scale
-      converges in O(log diameter) rounds.  It is NOT run from iteration 1
-      because the common LSH duplicate-cluster graph is clique-shaped
-      (diameter ≤ check_every): measured interleaved A/B at sf0.1
-      (bench/ab_cc.py), unconditional jumping made dedup_components 0.78×
-      — two extra narrow shuffles per iteration bought nothing when the
-      fixpoint already lands inside the first window.  Labels are always
-      doc_ids present in the table (init = self, min preserves membership),
-      so the self-join always matches.
-    - **Convergence is checked, never assumed**: raises instead of returning
-      silently-wrong partial labels for a component whose graph diameter
-      exceeds the iteration cap.
+      ADAPTIVELY, after the first convergence check fails: label-
+      propagation distance then roughly doubles per iteration on
+      pathological id layouts (a shuffled-id path of 200 nodes converges
+      in 67 rounds with the jump vs 157 without — simulated), and composes
+      with contraction for the log-diameter bound.  It is NOT run from
+      iteration 1 because the common LSH duplicate-cluster graph is
+      clique-shaped (diameter ≤ check_every): measured interleaved A/B at
+      sf0.1 (bench/ab_cc.py), unconditional jumping made dedup_components
+      0.78× — two extra narrow shuffles per iteration bought nothing when
+      the fixpoint already lands inside the first window.  Labels are
+      always doc_ids present in the current graph (init = self, min
+      preserves membership), so the self-join always matches.
+    - **Convergence is checked, never assumed**: raises instead of
+      returning silently-wrong partial labels for a component whose graph
+      diameter exceeds the iteration cap.
     """
     spark = edges.sparkSession
     sc = spark.sparkContext
@@ -474,16 +499,20 @@ def connected_components(
             sc.setCheckpointDir(conf_dir)
     reliable = sc.getCheckpointDir() is not None
 
-    # Superseded reliable checkpoints are deleted EXPLICITLY: Spark's
-    # cleaner only removes checkpoint files on driver-side RDD GC (and only
-    # with spark.cleaner.referenceTracking.cleanCheckpoints=true), so a long
-    # loop at the 100 TB scale this targets would otherwise accumulate
-    # O(convergence-checks) full table copies on durable storage.  Each
-    # truncate diffs the app-private checkpoint dir (setCheckpointDir
-    # appends a per-app UUID, so the listing is ours alone) to learn which
-    # rdd-* directory the checkpoint created; when a newer checkpoint
-    # supersedes it, the old directory is removed through the Hadoop
-    # FileSystem API (works for file://, hdfs://, s3a:// alike).
+    # Superseded materializations are released EXPLICITLY, in both modes.
+    # Reliable: Spark\'s cleaner only removes checkpoint files on driver-side
+    # RDD GC (and only with spark.cleaner.referenceTracking.cleanCheckpoints
+    # =true), so a long loop at the 100 TB scale this targets would
+    # otherwise accumulate O(convergence-checks) full table copies on
+    # durable storage.  Each truncate diffs the app-private checkpoint dir
+    # (setCheckpointDir appends a per-app UUID, so the listing is ours
+    # alone) to learn which rdd-* directory the checkpoint created; when a
+    # newer checkpoint supersedes it, the old directory is removed through
+    # the Hadoop FileSystem API (works for file://, hdfs://, s3a:// alike).
+    # Local: localCheckpoint persists the RDD in executor storage memory and
+    # nothing unpersists it until driver-side GC happens to collect the
+    # wrapper — the same diff-and-release discipline applies to the
+    # persistent-RDD id set instead of the dir listing.
     def _fs_path(p: str):
         jpath = sc._jvm.org.apache.hadoop.fs.Path(p)
         return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
@@ -494,50 +523,70 @@ def connected_components(
             return set()
         return {st.getPath().toString() for st in fs.listStatus(jpath)}
 
-    def _delete(paths: set) -> None:
-        for p in paths:
-            fs, jpath = _fs_path(p)
-            fs.delete(jpath, True)
+    def _persistent_ids() -> set:
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+
+    def _delete(handles: set) -> None:
+        if reliable:
+            for p in handles:
+                fs, jpath = _fs_path(p)
+                fs.delete(jpath, True)
+        else:
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in handles:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
 
     def truncate(df: DataFrame) -> tuple[DataFrame, set]:
         if not reliable:
-            return df.localCheckpoint(eager=True), set()
+            before = _persistent_ids()
+            out = df.localCheckpoint(eager=True)
+            return out, _persistent_ids() - before
         before = _list_ckpt()
         out = _reliable_checkpoint(df)
         return out, _list_ckpt() - before
 
-    def _nb_min(frontier: DataFrame) -> DataFrame:
+    def with_self_loops(e: DataFrame) -> DataFrame:
+        # self-loops make min-over-neighbors include the node\'s own label,
+        # fusing the propagate step to one join + one aggregation
+        nodes = e.select("doc_a").distinct()
+        return e.unionByName(nodes.select("doc_a", F.col("doc_a").alias("doc_b")))
+
+    def _nb_min(e: DataFrame, frontier: DataFrame) -> DataFrame:
         return (
-            edges.join(
+            e.join(
                 frontier.select(
                     F.col("doc_id").alias("nb_id"), F.col("comp").alias("nb_comp")
                 ),
-                edges["doc_b"] == F.col("nb_id"),
+                e["doc_b"] == F.col("nb_id"),
             )
             .groupBy("doc_a")
             .agg(F.min("nb_comp").alias("nb_comp"))
         )
 
-    edges, edges_files = truncate(edges)
-    comp, comp_files = truncate(
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("comp", F.col("doc_id"))
-    )
+    def init_labels(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+            .withColumn("comp", F.col("doc_id"))
+        )
+
+    edges, edges_files = truncate(with_self_loops(edges))
+    comp, comp_files = truncate(init_labels(edges))
     prev_files = comp_files
-    iterations = checks = 0
+    mapping = None  # original doc_id -> current-graph node, once contracted
+    mapping_files: set = set()
+    iterations = checks = contractions = 0
     converged = False
     jump = False
     for it in range(1, max_iterations + 1):
-        nb = _nb_min(comp)
-        comp = comp.join(nb, comp["doc_id"] == nb["doc_a"], "left").select(
-            "doc_id",
-            F.least(F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))).alias(
-                "comp"
-            ),
+        # fused propagate: self-loops put the node\'s own label in the min
+        comp = _nb_min(edges, comp).select(
+            F.col("doc_a").alias("doc_id"), F.col("nb_comp").alias("comp")
         )
         if jump:
-            # pointer jump: adopt my label's own label when smaller
+            # pointer jump: adopt my label\'s own label when smaller
             ptr = comp.select(
                 F.col("doc_id").alias("p_id"), F.col("comp").alias("p_comp")
             )
@@ -562,30 +611,63 @@ def connected_components(
                 F.col("doc_id").alias("fx_id"), F.col("comp").alias("fx_comp")
             )
             improving = (
-                _nb_min(comp)
+                _nb_min(edges, comp)
                 .join(cur, F.col("doc_a") == F.col("fx_id"))
                 .filter(F.col("nb_comp") < F.col("fx_comp"))
                 .count()
             )
-            # the previous window's checkpoint is now superseded — the new
+            # the previous window\'s checkpoint is now superseded — the new
             # comp is fully materialized and nothing references the old files
             _delete(prev_files)
             prev_files = comp_files
             if improving == 0:
                 converged = True
                 break
-            # still propagating past a full window — assume a deep graph
-            # and switch to log-diameter stepping
+            # still propagating past a full window: assume a deep graph —
+            # engage log-diameter stepping AND contract the graph
             jump = True
-    if converged:
-        # the returned comp is materialized; the edges checkpoint is no
-        # longer referenced by any surviving plan
-        _delete(edges_files)
+            if it == max_iterations:
+                continue  # cap reached; fall through to the raise
+            contractions += 1
+            la = comp.select(F.col("doc_id").alias("a_id"), F.col("comp").alias("la"))
+            lb = comp.select(F.col("doc_id").alias("b_id"), F.col("comp").alias("lb"))
+            contracted = (
+                edges.join(la, edges["doc_a"] == F.col("a_id"))
+                .join(lb, edges["doc_b"] == F.col("b_id"))
+                .filter(F.col("la") != F.col("lb"))
+                .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
+                .distinct()
+            )
+            edges_new, edges_new_files = truncate(with_self_loops(contracted))
+            # compose the original->current mapping (the just-materialized
+            # labels move DOWN a level: they name the contracted nodes)
+            if mapping is None:
+                mapping, mapping_files = comp, comp_files
+                prev_files = set()  # ownership moved to mapping; keep files
+            else:
+                relab = comp.select(
+                    F.col("doc_id").alias("m_id"), F.col("comp").alias("m_comp")
+                )
+                new_map, new_map_files = truncate(
+                    mapping.join(relab, mapping["comp"] == F.col("m_id"), "left")
+                    .select(
+                        "doc_id",
+                        F.coalesce(F.col("m_comp"), F.col("comp")).alias("comp"),
+                    )
+                )
+                _delete(mapping_files)
+                mapping, mapping_files = new_map, new_map_files
+            _delete(edges_files)
+            edges, edges_files = edges_new, edges_new_files
+            comp, comp_files = truncate(init_labels(edges))
+            _delete(prev_files)
+            prev_files = comp_files
     if stats is not None:
         stats.update(
             iterations=iterations,
             convergence_checks=checks,
             converged=converged,
+            contractions=contractions,
             reliable_checkpoint=reliable,
             pointer_jump_engaged=jump,
         )
@@ -594,6 +676,23 @@ def connected_components(
             "connected_components did not converge within "
             f"{max_iterations} iterations; labels still propagating"
         )
+    if mapping is not None:
+        # lift the contracted labels back to the original nodes; a label
+        # absent from the final graph belongs to a component that fully
+        # converged before the last contraction — its label IS the min
+        relab = comp.select(
+            F.col("doc_id").alias("m_id"), F.col("comp").alias("m_comp")
+        )
+        comp, final_files = truncate(
+            mapping.join(relab, mapping["comp"] == F.col("m_id"), "left").select(
+                "doc_id", F.coalesce(F.col("m_comp"), F.col("comp")).alias("comp")
+            )
+        )
+        _delete(mapping_files)
+        _delete(prev_files)
+    # the returned comp is materialized; the edges checkpoint is no
+    # longer referenced by any surviving plan
+    _delete(edges_files)
     return comp
 
 
@@ -897,16 +996,23 @@ def media_dedup_exact(blobs: DataFrame, min_refs: int = 3) -> DataFrame:
 
 def _dedup_refs_by_fp(fps: DataFrame, min_refs: int) -> DataFrame:
     """(media_ref, fp) → per-ref group stats; shared by the exact (payload
-    md5) and near-dup (feature signature) media dedup fronts."""
-    groups = fps.groupBy("fp").agg(
-        F.count("*").alias("n_refs"),
-        F.min("media_ref").alias("canonical_ref"),
-    )
-    return fps.join(groups, "fp").select(
+    md5) and near-dup (feature signature) media dedup fronts.
+
+    Group stats come from a WINDOW over fp, not groupBy+join-back: the join
+    form consumed ``fps`` twice with two non-identical exchanges (the
+    groupBy side carries a partial agg), so ReuseExchange never fired and
+    the upstream subtree — the decode/render UDF chain, the expensive part
+    of every media front — executed TWICE per action (guide §2.4: one
+    partitioning, established once, shared by both computations).  The
+    window form is one exchange on fp and one pass over the decoded rows;
+    same rows out (count/min over the full fp partition)."""
+    w = Window.partitionBy("fp")
+    n = F.count("*").over(w)
+    return fps.select(
         "media_ref",
-        "n_refs",
-        "canonical_ref",
-        (F.col("n_refs") >= F.lit(min_refs)).alias("is_boilerplate"),
+        n.alias("n_refs"),
+        F.min("media_ref").over(w).alias("canonical_ref"),
+        (n >= F.lit(min_refs)).alias("is_boilerplate"),
     )
 
 

@@ -104,6 +104,76 @@ def test_connected_components_chain_converges_at_cadence(spark, tmp_path):
     assert comp.count() == 12
 
 
+def test_connected_components_contraction_differential(spark, tmp_path):
+    """r6 contraction path: a graph deep enough to fail the first window
+    contracts (labels become nodes) and still produces EXACTLY the labels of
+    a reference union-find — including components that fully converge before
+    the last contraction (their label must survive the left-join lift)."""
+    import random
+
+    rng = random.Random(41)
+    ids = list(range(200))
+    rng.shuffle(ids)
+    # one deep chain (forces ≥2 windows → contraction) + two cliques that
+    # converge in window 1 (their labels vanish from the contracted graph)
+    pairs = [(ids[i], ids[i + 1]) for i in range(149)]
+    for grp in (ids[150:175], ids[175:200]):
+        pairs.extend((grp[0], m) for m in grp[1:])
+    rows = [{"doc_a": a, "doc_b": b} for a, b in pairs] + [
+        {"doc_a": b, "doc_b": a} for a, b in pairs
+    ]
+    edges = spark.createDataFrame(rows, "doc_a: long, doc_b: long")
+    stats: dict = {}
+    comp = trainops.connected_components(edges, max_iterations=24, stats=stats)
+    got = {r["doc_id"]: r["comp"] for r in comp.collect()}
+    # reference: plain union-find
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in {x for p in pairs for x in p}}
+    assert got == want
+    assert stats["converged"] and stats["contractions"] >= 1
+
+
+def test_connected_components_releases_local_checkpoint_blocks(spark):
+    """Dir-less (localCheckpoint) mode must not leak superseded blocks into
+    executor storage memory: after the loop returns, only the surviving
+    materialization(s) the returned frame depends on may remain persisted
+    (r5 leaked ~4 blocks per run; over a 3-repeat 17-query bench that
+    accumulation squeezed execution memory for every later query)."""
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is not None:
+        # an earlier test set a dir on the shared session; force the
+        # dir-less branch (scala: checkpointDir = None) — test-only seam
+        scala_none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+        assert sc.getCheckpointDir() is None
+
+    def persistent_ids():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+
+    before = persistent_ids()
+    stats: dict = {}
+    comp = trainops.connected_components(
+        _chain_edges(spark, 40), max_iterations=24, stats=stats
+    )
+    leaked = persistent_ids() - before
+    # exactly the returned frame's own materialization survives
+    assert len(leaked) <= 1, f"superseded localCheckpoint blocks leaked: {leaked}"
+    assert stats["contractions"] >= 1  # the deep chain exercised every path
+    assert comp.count() == 40
+    comp._jdf  # keep the frame alive until after the assertion
+
+
 def test_connected_components_raises_instead_of_partial_labels(spark):
     # pointer jumping covers ~3·2^k hops after k rounds, so forcing
     # non-convergence needs a chain much deeper than the iteration cap
