@@ -573,95 +573,112 @@ def connected_components(
         )
 
     edges, edges_files = truncate(with_self_loops(edges))
-    comp, comp_files = truncate(init_labels(edges))
-    prev_files = comp_files
+    # Scope the loop's shuffle width to the MATERIALIZED edge count (the
+    # count is one cheap job over the checkpoint): CC rows are two slim id
+    # columns, so the session's payload-sized shuffle width leaves dozens
+    # of near-empty reducers per iteration and the per-stage scheduling
+    # overhead dominates the loop (measured at sf0.1/32c on the capstone
+    # graph: 5.7 s at 64 partitions -> 3.4 s at 1, identical labels).
+    # ~500k edge rows (~25-50 MB) per partition per guide §2.2, capped at
+    # the session default so cluster-scale graphs keep full parallelism;
+    # AQE stays ON (measured 1.8x WORSE without it — its coalescing is
+    # where the tiny-stage savings come from at any width).
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_edges = edges.count()
+    loop_width = min(session_width, max(1, n_edges // 500_000 + 1))
+    comp = init_labels(edges)  # lazy: a distinct folded into window 1's plan
+    prev_files: set = set()
     mapping = None  # original doc_id -> current-graph node, once contracted
     mapping_files: set = set()
     iterations = checks = contractions = 0
     converged = False
     jump = False
-    for it in range(1, max_iterations + 1):
-        # fused propagate: self-loops put the node\'s own label in the min
-        comp = _nb_min(edges, comp).select(
-            F.col("doc_a").alias("doc_id"), F.col("nb_comp").alias("comp")
-        )
-        if jump:
-            # pointer jump: adopt my label\'s own label when smaller
-            ptr = comp.select(
-                F.col("doc_id").alias("p_id"), F.col("comp").alias("p_comp")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+    try:
+        for it in range(1, max_iterations + 1):
+            # fused propagate: self-loops put the node\'s own label in the min
+            comp = _nb_min(edges, comp).select(
+                F.col("doc_a").alias("doc_id"), F.col("nb_comp").alias("comp")
             )
-            comp = (
-                comp.alias("c")
-                .join(ptr, F.col("c.comp") == F.col("p_id"), "left")
-                .select(
-                    F.col("c.doc_id").alias("doc_id"),
-                    F.least(
-                        F.col("c.comp"), F.coalesce(F.col("p_comp"), F.col("c.comp"))
-                    ).alias("comp"),
+            if jump:
+                # pointer jump: adopt my label\'s own label when smaller
+                ptr = comp.select(
+                    F.col("doc_id").alias("p_id"), F.col("comp").alias("p_comp")
                 )
-            )
-        iterations = it
-        if it % check_every == 0 or it == max_iterations:
-            comp, comp_files = truncate(comp)
-            checks += 1
-            # fixpoint test on the materialized labels: any doc a neighbor
-            # still improves?  (counts only the improving rows — the join is
-            # inner on doc_a, the filter prunes at the probe side)
-            cur = comp.select(
-                F.col("doc_id").alias("fx_id"), F.col("comp").alias("fx_comp")
-            )
-            improving = (
-                _nb_min(edges, comp)
-                .join(cur, F.col("doc_a") == F.col("fx_id"))
-                .filter(F.col("nb_comp") < F.col("fx_comp"))
-                .count()
-            )
-            # the previous window\'s checkpoint is now superseded — the new
-            # comp is fully materialized and nothing references the old files
-            _delete(prev_files)
-            prev_files = comp_files
-            if improving == 0:
-                converged = True
-                break
-            # still propagating past a full window: assume a deep graph —
-            # engage log-diameter stepping AND contract the graph
-            jump = True
-            if it == max_iterations:
-                continue  # cap reached; fall through to the raise
-            contractions += 1
-            la = comp.select(F.col("doc_id").alias("a_id"), F.col("comp").alias("la"))
-            lb = comp.select(F.col("doc_id").alias("b_id"), F.col("comp").alias("lb"))
-            contracted = (
-                edges.join(la, edges["doc_a"] == F.col("a_id"))
-                .join(lb, edges["doc_b"] == F.col("b_id"))
-                .filter(F.col("la") != F.col("lb"))
-                .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
-                .distinct()
-            )
-            edges_new, edges_new_files = truncate(with_self_loops(contracted))
-            # compose the original->current mapping (the just-materialized
-            # labels move DOWN a level: they name the contracted nodes)
-            if mapping is None:
-                mapping, mapping_files = comp, comp_files
-                prev_files = set()  # ownership moved to mapping; keep files
-            else:
-                relab = comp.select(
-                    F.col("doc_id").alias("m_id"), F.col("comp").alias("m_comp")
-                )
-                new_map, new_map_files = truncate(
-                    mapping.join(relab, mapping["comp"] == F.col("m_id"), "left")
+                comp = (
+                    comp.alias("c")
+                    .join(ptr, F.col("c.comp") == F.col("p_id"), "left")
                     .select(
-                        "doc_id",
-                        F.coalesce(F.col("m_comp"), F.col("comp")).alias("comp"),
+                        F.col("c.doc_id").alias("doc_id"),
+                        F.least(
+                            F.col("c.comp"), F.coalesce(F.col("p_comp"), F.col("c.comp"))
+                        ).alias("comp"),
                     )
                 )
-                _delete(mapping_files)
-                mapping, mapping_files = new_map, new_map_files
-            _delete(edges_files)
-            edges, edges_files = edges_new, edges_new_files
-            comp, comp_files = truncate(init_labels(edges))
-            _delete(prev_files)
-            prev_files = comp_files
+            iterations = it
+            if it % check_every == 0 or it == max_iterations:
+                comp, comp_files = truncate(comp)
+                checks += 1
+                # fixpoint test on the materialized labels: any doc a neighbor
+                # still improves?  (counts only the improving rows — the join is
+                # inner on doc_a, the filter prunes at the probe side)
+                cur = comp.select(
+                    F.col("doc_id").alias("fx_id"), F.col("comp").alias("fx_comp")
+                )
+                improving = (
+                    _nb_min(edges, comp)
+                    .join(cur, F.col("doc_a") == F.col("fx_id"))
+                    .filter(F.col("nb_comp") < F.col("fx_comp"))
+                    .count()
+                )
+                # the previous window\'s checkpoint is now superseded — the new
+                # comp is fully materialized and nothing references the old files
+                _delete(prev_files)
+                prev_files = comp_files
+                if improving == 0:
+                    converged = True
+                    break
+                # still propagating past a full window: assume a deep graph —
+                # engage log-diameter stepping AND contract the graph
+                jump = True
+                if it == max_iterations:
+                    continue  # cap reached; fall through to the raise
+                contractions += 1
+                la = comp.select(F.col("doc_id").alias("a_id"), F.col("comp").alias("la"))
+                lb = comp.select(F.col("doc_id").alias("b_id"), F.col("comp").alias("lb"))
+                contracted = (
+                    edges.join(la, edges["doc_a"] == F.col("a_id"))
+                    .join(lb, edges["doc_b"] == F.col("b_id"))
+                    .filter(F.col("la") != F.col("lb"))
+                    .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
+                    .distinct()
+                )
+                edges_new, edges_new_files = truncate(with_self_loops(contracted))
+                # compose the original->current mapping (the just-materialized
+                # labels move DOWN a level: they name the contracted nodes)
+                if mapping is None:
+                    mapping, mapping_files = comp, comp_files
+                    prev_files = set()  # ownership moved to mapping; keep files
+                else:
+                    relab = comp.select(
+                        F.col("doc_id").alias("m_id"), F.col("comp").alias("m_comp")
+                    )
+                    new_map, new_map_files = truncate(
+                        mapping.join(relab, mapping["comp"] == F.col("m_id"), "left")
+                        .select(
+                            "doc_id",
+                            F.coalesce(F.col("m_comp"), F.col("comp")).alias("comp"),
+                        )
+                    )
+                    _delete(mapping_files)
+                    mapping, mapping_files = new_map, new_map_files
+                _delete(edges_files)
+                edges, edges_files = edges_new, edges_new_files
+                comp = init_labels(edges)  # lazy, as at loop start
+                _delete(prev_files)
+                prev_files = set()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_width))
     if stats is not None:
         stats.update(
             iterations=iterations,
@@ -4230,7 +4247,11 @@ def lm_perplexity(corpus: DataFrame, reference: DataFrame) -> DataFrame:
             F.sum(F.col("a_w") - F.coalesce(F.col("c_w"), F.lit(0))).alias("lm_cost"),
         )
     )
-    avg = F.expr("lm_cost div n_pairs")
+    # floor division, not `div`: Spark's `div` truncates toward zero while
+    # the DuckDB oracles use `//` (floors) — identical for lm_cost ≥ 0 (the
+    # documented invariant), but sign-agnostic arithmetic keeps oracle
+    # parity even in the >~4e7-tokens-per-bucket stray −1 regime (ADVICE r5)
+    avg = F.floor(F.col("lm_cost") / F.col("n_pairs")).cast("long")
     return (
         corpus.select("doc_id", "source")
         .join(costs, "doc_id", "left")
@@ -4775,7 +4796,11 @@ def lm_perplexity_grouped(
             F.sum(F.col("a_w") - F.coalesce(F.col("c_w"), F.lit(0))).alias("lm_cost"),
         )
     )
-    avg = F.expr("lm_cost div n_pairs")
+    # floor division, not `div`: Spark's `div` truncates toward zero while
+    # the DuckDB oracles use `//` (floors) — identical for lm_cost ≥ 0 (the
+    # documented invariant), but sign-agnostic arithmetic keeps oracle
+    # parity even in the >~4e7-tokens-per-bucket stray −1 regime (ADVICE r5)
+    avg = F.floor(F.col("lm_cost") / F.col("n_pairs")).cast("long")
     return (
         corpus.select("doc_id", "source", F.col(group_col))
         .join(costs, "doc_id", "left")
@@ -4928,7 +4953,11 @@ def lm_perplexity_maps(docs: DataFrame, weight_maps: DataFrame) -> DataFrame:
         F.size(F.split(F.col("text"), " ")) - F.lit(1), F.lit(0)
     )
     n_pairs = F.when(n_pairs_raw >= 1, n_pairs_raw)
-    avg = F.expr("lm_cost div n_pairs")
+    # floor division, not `div`: Spark's `div` truncates toward zero while
+    # the DuckDB oracles use `//` (floors) — identical for lm_cost ≥ 0 (the
+    # documented invariant), but sign-agnostic arithmetic keeps oracle
+    # parity even in the >~4e7-tokens-per-bucket stray −1 regime (ADVICE r5)
+    avg = F.floor(F.col("lm_cost") / F.col("n_pairs")).cast("long")
     return (
         docs.crossJoin(F.broadcast(weight_maps))
         .select(
