@@ -41,6 +41,8 @@ QUERIES = [
     "train_corpus_ccnet",
     "text_lm_perplexity",
     "documents_extract",
+    "x_table_parse_service",
+    "x_multimodal_image_meta",
 ]
 
 

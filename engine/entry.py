@@ -197,11 +197,17 @@ def x_table_parse_service(spark, sf_dir):
     from engine.tables import parse_service_rows
 
     li = load(spark, sf_dir, "lineitem")
-    row_html = F.concat(
+    # The row html is built AFTER the per-order exchange, from the two slim
+    # numeric fields it derives from (guide §2.3: shuffle keys and metadata,
+    # not rendered payloads) — the r5 form shuffled a ~100-byte rendered
+    # string per lineitem where 12 bytes of (linenumber, floored price)
+    # carry the same information.  Same sort order (linenumber leads the
+    # struct and is unique per order), byte-identical html out.
+    row_html = lambda s: F.concat(  # noqa: E731
         F.lit("<tr><td>C"),
-        F.col("l_linenumber").cast("string"),
+        s["l_linenumber"].cast("string"),
         F.lit("</td><td>خدمة</td><td>d</td><td>p</td><td>q</td><td>c</td><td>pp</td><td>"),
-        F.floor("l_extendedprice").cast("bigint").cast("string"),
+        s["amt"].cast("string"),
         F.lit("</td></tr>"),
     )
     tables_df = li.groupBy("l_orderkey").agg(
@@ -209,8 +215,15 @@ def x_table_parse_service(spark, sf_dir):
             F.lit("<table>" + _TBL_HEADER),
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct(F.col("l_linenumber"), row_html.alias("h")))),
-                    lambda s: s["h"],
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("l_linenumber"),
+                                F.floor("l_extendedprice").cast("bigint").alias("amt"),
+                            )
+                        )
+                    ),
+                    row_html,
                 ),
                 "",
             ),

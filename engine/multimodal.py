@@ -213,7 +213,12 @@ def _video_asset_payload(vec_id: pd.Series) -> pd.Series:
 
 
 def _image_assets(spark, sf_dir):
-    return load(spark, sf_dir, "embeddings").select(
+    # _spread: the embeddings parquet is one input split at test scale, so
+    # without it the payload-synthesis UDF + mapInPandas chain runs on a
+    # single task (same fix as the entry.py media corpus builders)
+    from engine.entry import _spread
+
+    return _spread(load(spark, sf_dir, "embeddings").select("vec_id")).select(
         F.concat(F.lit("img-"), F.col("vec_id")).alias("asset_id"),
         _image_asset_payload(F.col("vec_id")).alias("payload"),
     )
@@ -285,7 +290,9 @@ def x_multimodal_resize(spark, sf_dir):
     """,
 )
 def x_multimodal_frames(spark, sf_dir):
-    assets = load(spark, sf_dir, "embeddings").select(
+    from engine.entry import _spread
+
+    assets = _spread(load(spark, sf_dir, "embeddings").select("vec_id")).select(
         F.concat(F.lit("vid-"), F.col("vec_id")).alias("asset_id"),
         _video_asset_payload(F.col("vec_id")).alias("payload"),
     )

@@ -318,23 +318,30 @@ def extract_sections(doc_text: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # footer: first table with an explicit الصافي row wins (W4 first-occurrence);
     # fall back to A5 sum of section subtotals.
-    footers = (
-        per_table.filter(F.col("footer_try.net_total_amount").isNotNull())
-        .groupBy("doc_id")
-        .agg(F.min_by("footer_try", "tpos").alias("footer_explicit"))
-    )
-    subtotal_sum = (
-        per_table.filter(F.col("subtotal").isNotNull())
-        .groupBy("doc_id")
-        .agg(
-            (F.sum(textops.coerce_price(F.col("subtotal"))).cast("double")).alias("subtotal_sum")
-        )
+    # ONE per-doc aggregation for both footer facts (r6): the split
+    # footers/subtotal_sum form consumed per_table twice more — each with
+    # its own groupBy exchange and doc-level join, and each re-running the
+    # table tokenization (column pruning limits the re-run to the pruned
+    # parse, but the explode+regex pass repeats).  min_by with a
+    # WHEN-nulled ordering key reproduces the filtered min exactly (null
+    # ordering keys are skipped; all-null → null, same as the old missing
+    # row meeting a left join), and sum skips the null subtotals the old
+    # filter removed.  Two exchanges + one join fewer; identical rows.
+    footer_stats = per_table.groupBy("doc_id").agg(
+        F.min_by(
+            "footer_try",
+            F.when(
+                F.col("footer_try.net_total_amount").isNotNull(), F.col("tpos")
+            ),
+        ).alias("footer_explicit"),
+        (F.sum(textops.coerce_price(F.col("subtotal"))).cast("double")).alias(
+            "subtotal_sum"
+        ),
     )
     out = (
         doc_text.select("doc_id")
         .join(per_doc_sections, "doc_id", "left")
-        .join(footers, "doc_id", "left")
-        .join(subtotal_sum, "doc_id", "left")
+        .join(footer_stats, "doc_id", "left")
         .select(
             "doc_id",
             "sections",
