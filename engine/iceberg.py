@@ -296,6 +296,15 @@ def weight_tables_ddl(catalog: str = "lake") -> list[str]:
       grp STRING, pk BIGINT, c_w BIGINT
     ) USING iceberg
     """,
+        # the dense unigram side (a_w) is NOT derivable from the bigram
+        # table (unigram counts include doc-final tokens that appear in no
+        # bigram first position — r5 advice), so it persists as its own
+        # artifact and is refit nightly alongside
+        f"""
+    CREATE TABLE IF NOT EXISTS {catalog}.models.lm_unigram_weights (
+      grp STRING, b1 INT, a_w BIGINT
+    ) USING iceberg
+    """,
     ]
 
 
