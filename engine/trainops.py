@@ -2050,14 +2050,11 @@ def _curation_outcomes(spark, sf_dir) -> DataFrame:
     return curation_outcomes(_augmented(spark, sf_dir))
 
 
-def curation_outcomes(aug: DataFrame) -> DataFrame:
-    """Corpus-parametric core of _curation_outcomes: the full verdict chain
-    over ANY (doc_id, source, text) frame — the sf-dir form feeds it the
-    augmented documents table, curate_interleaved feeds it doc text
-    assembled from interleaved spans.  Keep-min per duplicate cluster
-    orders by the doc_id column's own type (numeric ids numerically,
-    string ids lexicographically) — oracles must compare in the same id
-    space."""
+def curation_labeled(aug: DataFrame) -> DataFrame:
+    """Phase 1 of the curation verdict chain: the materialized per-doc
+    quality/repetition pre-verdicts (doc_id, source, text, pre_reason) —
+    factored out of curation_outcomes (r6) so curate_interleaved can
+    overlap this eager phase with its independent media side."""
     docs = aug.withColumn(
         "pre_reason", F.when(quality_flag_col(), "quality")
     )
@@ -2077,19 +2074,26 @@ def curation_outcomes(aug: DataFrame) -> DataFrame:
     # cut the quality+repetition subtree re-executes once per branch —
     # measured 14.8 → 9.6 s at sf0.1/32c from this truncate alone
     # (PLANS.md §4j).
-    labeled = _truncate_lineage(
+    return _truncate_lineage(
         labeled.select("doc_id", "source", "text", "pre_reason")
     )
+
+
+def curation_edges(labeled: DataFrame) -> DataFrame:
+    """Phase 2 (lazy): symmetric LSH candidate edges over the survivors."""
     surv = labeled.filter(F.col("pre_reason").isNull()).select("doc_id", "text")
     pairs = (
         _minhash_pairs(surv)
         .filter(F.col("shared_bands") >= 2)
         .select("doc_a", "doc_b")
     )
-    edges = pairs.unionByName(
+    return pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    comp = connected_components(edges)
+
+
+def curation_verdicts(labeled: DataFrame, comp: DataFrame) -> DataFrame:
+    """Phase 3: final per-doc outcome from pre-verdicts + duplicate labels."""
     return labeled.join(comp, "doc_id", "left").select(
         "doc_id",
         "source",
@@ -2105,6 +2109,19 @@ def curation_outcomes(aug: DataFrame) -> DataFrame:
         .otherwise(F.lit("kept"))
         .alias("outcome"),
     )
+
+
+def curation_outcomes(aug: DataFrame) -> DataFrame:
+    """Corpus-parametric core of _curation_outcomes: the full verdict chain
+    over ANY (doc_id, source, text) frame — the sf-dir form feeds it the
+    augmented documents table, curate_interleaved feeds it doc text
+    assembled from interleaved spans.  Keep-min per duplicate cluster
+    orders by the doc_id column's own type (numeric ids numerically,
+    string ids lexicographically) — oracles must compare in the same id
+    space."""
+    labeled = curation_labeled(aug)
+    comp = connected_components(curation_edges(labeled))
+    return curation_verdicts(labeled, comp)
 
 
 def curated_corpus(spark, sf_dir) -> DataFrame:
@@ -2181,11 +2198,37 @@ def curate_interleaved(
     branch reads kind/text/offset, media branch kind/media_ref/offset —
     parquet reads each column set once); the curation chain runs on the
     assembled doc frame (one groupBy), the media chain on payload-free
-    feature rows; the final semi-join ships only kept doc_ids."""
-    outcomes = interleaved_outcomes(exploded)
-    stripped = strip_media_boilerplate(
-        exploded, media_dedup_features(blob_feats, min_refs)
+    feature rows; the final semi-join ships only kept doc_ids.
+
+    The two sides are INDEPENDENT until the final semi-join, and the text
+    side's pre-dedup phases are driver-synchronous (eager label and edge
+    checkpoints), so the media verdicts are materialized from a driver-side
+    worker thread WHILE the label+edge phases run (guide §2.6 — overlap
+    independent jobs so one job's tiny stages back-fill the other's idle
+    cores).  The worker's materialization is BARRIERED (``fut.result()``)
+    before connected_components starts, because the CC loop narrows the
+    session's shuffle width for its own tiny stages — concurrent planning
+    during that window would pick up the narrowed width (a corpus-wide
+    media window planned at a small-graph width is the pathological case
+    at scale).  The materialized frames are slim: the per-ref verdict
+    table (media_ref, n_refs, canonical_ref, is_boilerplate — no
+    payloads, no text) and the symmetric edge list CC would checkpoint
+    anyway.  Measured interleaved A/B at sf0.1/32c: 9.2 → 8.3-8.6 s
+    best-of-3, identical rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    assembled = assemble_doc_text(exploded).withColumn(
+        "source", F.lit("interleaved")
     )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        groups_fut = pool.submit(
+            lambda: _truncate_lineage(media_dedup_features(blob_feats, min_refs))
+        )
+        labeled = curation_labeled(assembled)  # eager (default width)
+        edges = _truncate_lineage(curation_edges(labeled))  # eager, heavy chain
+        groups = groups_fut.result()  # barrier: nothing plans during CC below
+    outcomes = curation_verdicts(labeled, connected_components(edges))
+    stripped = strip_media_boilerplate(exploded, groups)
     kept = outcomes.filter(F.col("outcome") == "kept").select("doc_id")
     return stripped.join(kept, "doc_id", "semi")
 
