@@ -116,9 +116,16 @@ def test_connected_components_contraction_differential(spark, tmp_path):
     rng.shuffle(ids)
     # one deep chain (forces ≥2 windows → contraction) + two cliques that
     # converge in window 1 (their labels vanish from the contracted graph)
+    # + a high-degree star + a cross-link fusing the star into the chain's
+    # middle (a hub merging into a half-converged region mid-loop) + an
+    # isolated 2-cycle — the contraction/lift edge-case zoo in one graph
     pairs = [(ids[i], ids[i + 1]) for i in range(149)]
-    for grp in (ids[150:175], ids[175:200]):
+    for grp in (ids[150:175], ids[175:190]):
         pairs.extend((grp[0], m) for m in grp[1:])
+    hub = ids[190]
+    pairs.extend((hub, m) for m in ids[191:198])  # star
+    pairs.append((hub, ids[75]))  # star fused into the chain's middle
+    pairs.append((ids[198], ids[199]))  # isolated pair
     rows = [{"doc_a": a, "doc_b": b} for a, b in pairs] + [
         {"doc_a": b, "doc_b": a} for a, b in pairs
     ]
